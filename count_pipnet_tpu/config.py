@@ -1,0 +1,162 @@
+"""Configuration system: argparse flags + YAML overlay + run-dir persistence.
+
+Contract parity with the reference (util/args.py:14-248):
+* the same ~35 flag names and defaults;
+* ``--config <yaml>`` sets parser *defaults* so explicit CLI flags still win;
+* unknown YAML keys print a warning;
+* ``save_args`` writes ``args.txt`` (quoted strings) and a pickle.
+
+TPU additions: ``--dtype`` (bf16/fp32 compute), ``--mesh_shape`` (data
+parallel device count, -1 = all local devices), ``--profile_dir`` (jax
+profiler traces, SURVEY.md §5 calls for first-class step timing).
+"""
+
+import argparse
+import os
+import pickle
+
+try:
+    import yaml
+except ImportError:  # pragma: no cover
+    yaml = None
+
+__all__ = ["build_parser", "get_args", "save_args", "args_from_yaml",
+           "DEFAULTS"]
+
+
+def _bool(v):
+    if isinstance(v, bool):
+        return v
+    return str(v).lower() in ("true", "1", "yes")
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser("Train a PIP-Net / Count-PIPNet (TPU)")
+    add = p.add_argument
+    add("--config", type=str, default="", help="Path to YAML config file")
+    add("--dataset", type=str, default="CUB-200-2011")
+    add("--validation_size", type=float, default=0.0,
+        help="train/val split fraction when no test dir exists")
+    add("--net", type=str, default="convnext_tiny_26",
+        help="backbone: convnext_tiny_26/13, resnet18/34/50/50_inat/101/152")
+    add("--batch_size", type=int, default=64)
+    add("--batch_size_pretrain", type=int, default=128)
+    add("--epochs", type=int, default=60)
+    add("--epochs_pretrain", type=int, default=10)
+    add("--epochs_finetune", type=int, default=20)
+    add("--optimizer", type=str, default="Adam")
+    add("--lr", type=float, default=0.05,
+        help="classifier learning rate")
+    add("--tanh_loss_coeff", type=float, default=1.0)
+    add("--lr_block", type=float, default=0.0005)
+    add("--lr_net", type=float, default=0.0005)
+    add("--weight_decay", type=float, default=0.0)
+    add("--disable_cuda", action="store_true",
+        help="kept for CLI parity; selects CPU over accelerator")
+    add("--log_dir", type=str, default="./runs/run_pipnet")
+    add("--num_features", type=int, default=0,
+        help="number of prototypes; 0 = backbone channel count")
+    add("--image_size", type=int, default=224)
+    add("--state_dict_dir_net", type=str, default="",
+        help="directory containing a pretrained checkpoint")
+    add("--freeze_epochs", type=int, default=10)
+    add("--dir_for_saving_images", type=str, default="visualization_results")
+    add("--disable_pretrained", action="store_true")
+    add("--weighted_loss", action="store_true")
+    add("--seed", type=int, default=1)
+    add("--gpu_ids", type=str, default="",
+        help="kept for CLI parity; device selection is mesh-based on TPU")
+    add("--num_workers", type=int, default=8)
+    add("--bias", action="store_true")
+    add("--extra_test_image_folder", type=str, default="./experiments")
+    add("--pretrained_checkpoints_dir", type=str, default="")
+    add("--shared_pretrained_dir", type=str, default="")
+    add("--resume_training", action="store_true")
+    # Count-PIPNet flags
+    add("--model", type=str, default="pipnet",
+        help='"pipnet" or "count_pipnet"')
+    add("--use_mid_layers", action="store_true")
+    add("--num_stages", type=int, default=3)
+    add("--max_count", type=int, default=3)
+    add("--use_ste", type=_bool, choices=[True, False], default=False)
+    add("--activation", type=str, default="gumbel_softmax",
+        help="softmax or gumbel_softmax")
+    add("--intermediate_layer", type=str, default="onehot",
+        help="onehot | linear | linear_full | bilinear | identity")
+    add("--train_intermediate", type=_bool, choices=[True, False],
+        default=True)
+    add("--enforce_weight_sparsity", type=_bool, choices=[True, False],
+        default=True)
+    add("--positive_grad_strategy", type=str, default=None,
+        choices=[None, "current_grad", "max_grad"])
+    add("--backward_clamp_strategy", type=str, default="Identity",
+        choices=["Identity", "Gated"])
+    # TPU-native additions
+    add("--dtype", type=str, default="bfloat16",
+        choices=["bfloat16", "float32"], help="compute dtype")
+    add("--mesh_shape", type=int, default=-1,
+        help="data-parallel mesh size; -1 = all local devices")
+    add("--profile_dir", type=str, default="",
+        help="when set, capture jax.profiler traces into this dir")
+    return p
+
+
+DEFAULTS = {a.dest: a.default for a in build_parser()._actions
+            if a.dest != "help"}
+
+
+def _apply_yaml_defaults(parser, config_path):
+    if yaml is None:
+        raise RuntimeError("pyyaml is unavailable; cannot read --config")
+    with open(config_path) as f:
+        config = yaml.safe_load(f) or {}
+    known = {a.dest for a in parser._actions if a.dest != "help"}
+    updates = {}
+    for key, value in config.items():
+        if key in known:
+            updates[key] = value
+        else:
+            print(f"Warning: Config contains unknown parameter '{key}'")
+    if updates:
+        parser.set_defaults(**updates)
+    return parser
+
+
+def get_args(argv=None) -> argparse.Namespace:
+    """Parse CLI args; a --config YAML file supplies defaults only
+    (explicit CLI flags take precedence, reference util/args.py:194-220)."""
+    parser = build_parser()
+    known, _ = parser.parse_known_args(argv)
+    if known.config and os.path.exists(known.config):
+        print("Using the config parameters as default. Command-line "
+              "arguments still take precedence.")
+        _apply_yaml_defaults(parser, known.config)
+    args = parser.parse_args(argv)
+    if len(args.log_dir.split("/")) > 2 and not os.path.exists(args.log_dir):
+        os.makedirs(args.log_dir, exist_ok=True)
+    return args
+
+
+def args_from_yaml(config_path, **overrides) -> argparse.Namespace:
+    """Build a namespace straight from a YAML file plus overrides — the
+    sweep-runner path (reference run_multiple_configs.py:121-179)."""
+    parser = build_parser()
+    _apply_yaml_defaults(parser, config_path)
+    args = parser.parse_args([])
+    for k, v in overrides.items():
+        setattr(args, k, v)
+    return args
+
+
+def save_args(args, directory_path) -> None:
+    """Persist args as args.txt (readable) + args.pickle (reusable).
+    Reference: util/args.py:228-248."""
+    os.makedirs(directory_path, exist_ok=True)
+    with open(os.path.join(directory_path, "args.txt"), "w") as f:
+        for arg in vars(args):
+            val = getattr(args, arg)
+            if isinstance(val, str):
+                val = f"'{val}'"
+            f.write(f"{arg}: {val}\n")
+    with open(os.path.join(directory_path, "args.pickle"), "wb") as f:
+        pickle.dump(args, f)

@@ -1,0 +1,160 @@
+"""Dataset primitives: ImageFolder scanning, two-view augmentation, subsets.
+
+Replaces torchvision.datasets.ImageFolder / torch Subset with plain
+Python/PIL equivalents. Items are produced with an explicit per-item
+``random.Random`` derived from (seed, epoch, index) — deterministic and
+worker-count-independent, unlike the reference's broken worker seeding
+(util/data.py:147).
+"""
+
+import os
+import random
+from typing import Callable, List, Optional, Sequence, Tuple
+
+import numpy as np
+from PIL import Image
+
+__all__ = ["ImageFolder", "TwoAugDataset", "TransformedDataset", "Subset",
+           "stratified_split", "IMG_EXTENSIONS"]
+
+IMG_EXTENSIONS = (".jpg", ".jpeg", ".png", ".ppm", ".bmp", ".pgm", ".tif",
+                  ".tiff", ".webp")
+
+
+class ImageFolder:
+    """Scan ``root/<class>/*`` into (path, class_idx) samples; classes are
+    the sorted subdirectory names (torchvision ImageFolder contract)."""
+
+    def __init__(self, root, transform: Optional[Callable] = None):
+        self.root = str(root)
+        classes = sorted(
+            d.name for d in os.scandir(self.root) if d.is_dir())
+        if not classes:
+            raise FileNotFoundError(
+                f"no class directories under {self.root}")
+        self.classes = classes
+        self.class_to_idx = {c: i for i, c in enumerate(classes)}
+        self.samples: List[Tuple[str, int]] = []
+        for c in classes:
+            cdir = os.path.join(self.root, c)
+            for dirpath, _, filenames in sorted(os.walk(cdir)):
+                for fname in sorted(filenames):
+                    if fname.lower().endswith(IMG_EXTENSIONS):
+                        self.samples.append(
+                            (os.path.join(dirpath, fname),
+                             self.class_to_idx[c]))
+        self.imgs = self.samples
+        self.targets = [t for _, t in self.samples]
+        self.transform = transform
+
+    def __len__(self):
+        return len(self.samples)
+
+    def load_image(self, index) -> Image.Image:
+        path, _ = self.samples[index]
+        with Image.open(path) as img:
+            return img.convert("RGB")
+
+    def __getitem__(self, index_and_rng):
+        index, rng = _split_index(index_and_rng)
+        img = self.load_image(index)
+        target = self.samples[index][1]
+        if self.transform is not None:
+            img = self.transform(img, rng)
+        return img, target
+
+
+def _split_index(index_and_rng):
+    if isinstance(index_and_rng, tuple):
+        return index_and_rng
+    return index_and_rng, random.Random(0)
+
+
+class TransformedDataset:
+    """Apply a transform on top of a base dataset's raw PIL output."""
+
+    def __init__(self, base: ImageFolder, transform: Callable):
+        self.base = base
+        self.classes = base.classes
+        self.class_to_idx = base.class_to_idx
+        self.targets = base.targets
+        self.imgs = base.imgs
+        self.transform = transform
+
+    def __len__(self):
+        return len(self.base)
+
+    def __getitem__(self, index_and_rng):
+        index, rng = _split_index(index_and_rng)
+        img = self.base.load_image(index)
+        target = self.base.targets[index]
+        return self.transform(img, rng), target
+
+
+class TwoAugDataset:
+    """Two-view contrastive item: shared geometric ``transform1``, then two
+    independent photometric ``transform2`` draws
+    (reference util/data.py:596-617)."""
+
+    def __init__(self, base: ImageFolder, transform1: Callable,
+                 transform2: Callable):
+        self.base = base
+        self.classes = base.classes
+        self.class_to_idx = base.class_to_idx
+        self.targets = base.targets
+        self.imgs = base.imgs
+        self.transform1 = transform1
+        self.transform2 = transform2
+
+    def __len__(self):
+        return len(self.base)
+
+    def __getitem__(self, index_and_rng):
+        index, rng = _split_index(index_and_rng)
+        img = self.base.load_image(index)
+        target = self.base.targets[index]
+        img = self.transform1(img, rng)
+        v1 = self.transform2(img, rng)
+        v2 = self.transform2(img, rng)
+        return v1, v2, target
+
+
+class Subset:
+    def __init__(self, dataset, indices: Sequence[int]):
+        self.dataset = dataset
+        self.indices = list(indices)
+        self.classes = getattr(dataset, "classes", None)
+        self.class_to_idx = getattr(dataset, "class_to_idx", None)
+        base_targets = getattr(dataset, "targets", None)
+        self.targets = ([base_targets[i] for i in self.indices]
+                        if base_targets is not None else None)
+
+    def __len__(self):
+        return len(self.indices)
+
+    def __getitem__(self, index_and_rng):
+        index, rng = _split_index(index_and_rng)
+        return self.dataset[(self.indices[index], rng)]
+
+
+def stratified_split(targets, test_size: float, seed: int):
+    """Stratified train/test index split (sklearn-backed when available,
+    mirroring the reference's train_test_split at util/data.py:227-233)."""
+    indices = np.arange(len(targets))
+    try:
+        from sklearn.model_selection import train_test_split
+        train_idx, test_idx = train_test_split(
+            indices, test_size=test_size, stratify=np.asarray(targets),
+            random_state=seed)
+        return list(train_idx), list(test_idx)
+    except ImportError:  # pragma: no cover
+        rng = np.random.default_rng(seed)
+        targets = np.asarray(targets)
+        train_idx, test_idx = [], []
+        for c in np.unique(targets):
+            cls_idx = indices[targets == c]
+            rng.shuffle(cls_idx)
+            n_test = int(round(len(cls_idx) * test_size))
+            test_idx.extend(cls_idx[:n_test])
+            train_idx.extend(cls_idx[n_test:])
+        return sorted(train_idx), sorted(test_idx)

@@ -165,7 +165,9 @@ def importance_per_class(model: CountPIPNet, params,
         attribution = attribution * classifier_input_scalars[None, :]
     attribution = jnp.abs(attribution)
     w = params["classification"]["weight"]  # [C, D]
-    return w @ attribution.T  # [C, P]
+    # Interpretability math should be exact — force full-precision matmul
+    # (the compute path keeps the fast default for TPU).
+    return jnp.dot(w, attribution.T, precision="highest")  # [C, P]
 
 
 def _infer_num_prototypes(net, args, backbone):

@@ -1,0 +1,255 @@
+"""Checkpointing with the reference's three roles and config-hash discovery.
+
+Reference: util/checkpoint_manager.py (CheckpointManager) and
+util/selective_loading.py (backbone-only loading). Capabilities:
+
+* roles: ``net_pretrained`` (after phase 1), rolling ``net_trained`` +
+  ``net_trained_last``, and ``net_best`` keyed on stored accuracy;
+* md5 config hash over pretraining-relevant hyperparameters for
+  auto-discovery of compatible pretrained checkpoints
+  (checkpoint_manager.py:17-33, main.py:27-40);
+* search order: ``pretrained_checkpoints_dir/checkpoints`` then
+  ``log_dir/checkpoints`` (checkpoint_manager.py:35-41);
+* resume: restore params + both optimizer states + epoch
+  (checkpoint_manager.py:193-249);
+* backbone-only selective loading across architectures, skipping
+  shape mismatches (selective_loading.py:14-162).
+
+Format: flax msgpack of the state pytree + a JSON sidecar with epoch /
+accuracy / config hash (a single-file checkpoint like the reference's
+torch.save dicts, no orbax directory trees to rsync around).
+"""
+
+import hashlib
+import json
+import os
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+from flax import serialization
+
+__all__ = ["CheckpointManager", "load_backbone_only", "config_hash"]
+
+
+def config_hash(args) -> str:
+    """md5 over pretraining-relevant params (reference main.py:27-40)."""
+    pretraining_params = {
+        "max_count": getattr(args, "max_count", 3),
+        "use_mid_layers": getattr(args, "use_mid_layers", False),
+        "num_stages": getattr(args, "num_stages", 2),
+        "num_features": args.num_features,
+        "activation": getattr(args, "activation", "gumbel_softmax"),
+        "net": args.net,
+        "dataset": args.dataset,
+    }
+    param_str = json.dumps(pretraining_params, sort_keys=True)
+    return hashlib.md5(param_str.encode()).hexdigest()[:10]
+
+
+def _to_numpy(tree):
+    return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
+
+
+def _save_file(path: str, tree: Dict[str, Any], meta: Dict[str, Any]):
+    blob = serialization.msgpack_serialize(_to_numpy(tree))
+    with open(path, "wb") as f:
+        f.write(blob)
+    with open(path + ".json", "w") as f:
+        json.dump(meta, f)
+
+
+def _load_file(path: str, target=None):
+    with open(path, "rb") as f:
+        tree = serialization.msgpack_restore(f.read())
+    if target is not None:
+        tree = serialization.from_state_dict(target, tree)
+    meta = {}
+    if os.path.exists(path + ".json"):
+        with open(path + ".json") as f:
+            meta = json.load(f)
+    return tree, meta
+
+
+class CheckpointManager:
+    """Three checkpoint roles + hash discovery, functional-state edition.
+
+    A checkpoint stores ``{"params", "batch_stats", "opt_state"}`` (the
+    TPU-native analogue of the reference's model_state_dict +
+    optimizer_net/classifier state dicts) plus epoch/accuracy metadata.
+    """
+
+    def __init__(self, args):
+        self.args = args
+        self.hash = config_hash(args)
+        self.log_ckpt_dir = os.path.join(args.log_dir, "checkpoints")
+        os.makedirs(self.log_ckpt_dir, exist_ok=True)
+        self.search_dirs = []
+        if getattr(args, "pretrained_checkpoints_dir", ""):
+            self.search_dirs.append(
+                os.path.join(args.pretrained_checkpoints_dir, "checkpoints"))
+        self.search_dirs.append(self.log_ckpt_dir)
+        self.best_accuracy = -1.0
+
+    # -- save ---------------------------------------------------------------
+    def _state(self, params, batch_stats=None, opt_state=None):
+        return {
+            "params": params,
+            "batch_stats": batch_stats if batch_stats is not None else {},
+            "opt_state": opt_state if opt_state is not None else {},
+        }
+
+    def save_pretrained_checkpoint(self, params, batch_stats=None,
+                                   opt_state=None):
+        """net_pretrained + a hash-named copy
+        (checkpoint_manager.py:98-147)."""
+        state = self._state(params, batch_stats, opt_state)
+        meta = {"config_hash": self.hash}
+        _save_file(os.path.join(self.log_ckpt_dir, "net_pretrained"),
+                   state, meta)
+        _save_file(
+            os.path.join(self.log_ckpt_dir, f"net_pretrained_{self.hash}"),
+            state, meta)
+
+    def save_trained_checkpoint(self, params, batch_stats, opt_state, epoch):
+        """Rolling net_trained + net_trained_last
+        (checkpoint_manager.py:149-191)."""
+        state = self._state(params, batch_stats, opt_state)
+        meta = {"epoch": epoch if isinstance(epoch, int) else str(epoch),
+                "config_hash": self.hash}
+        _save_file(os.path.join(self.log_ckpt_dir, "net_trained"),
+                   state, meta)
+        _save_file(os.path.join(self.log_ckpt_dir, "net_trained_last"),
+                   state, meta)
+
+    def save_best_checkpoint(self, params, batch_stats, opt_state, epoch,
+                             accuracy):
+        """Keep net_best when accuracy improves
+        (checkpoint_manager.py:251-308)."""
+        if accuracy <= self.best_accuracy:
+            return False
+        self.best_accuracy = float(accuracy)
+        state = self._state(params, batch_stats, opt_state)
+        meta = {"epoch": epoch, "accuracy": float(accuracy),
+                "config_hash": self.hash}
+        _save_file(os.path.join(self.log_ckpt_dir, "net_best"), state, meta)
+        return True
+
+    # -- load ---------------------------------------------------------------
+    def _find(self, names):
+        for d in self.search_dirs:
+            for name in names:
+                path = os.path.join(d, name)
+                if os.path.exists(path):
+                    return path
+        return None
+
+    def load_pretrained_checkpoint(self, target_state=None):
+        """Explicit --state_dict_dir_net path, else hash-matched discovery
+        (checkpoint_manager.py:50-96). Returns (state, meta) or None."""
+        explicit = getattr(self.args, "state_dict_dir_net", "")
+        if explicit:
+            path = explicit if os.path.isfile(explicit) else self._find(
+                [os.path.basename(explicit)])
+            if explicit and os.path.isdir(explicit):
+                cand = os.path.join(explicit, "net_pretrained")
+                path = cand if os.path.exists(cand) else None
+            if path:
+                print(f"Loading pretrained checkpoint: {path}", flush=True)
+                return _load_file(path, target_state)
+            return None
+        path = self._find([f"net_pretrained_{self.hash}"])
+        if path:
+            print(f"Found hash-matched pretrained checkpoint: {path}",
+                  flush=True)
+            return _load_file(path, target_state)
+        return None
+
+    def load_trained_checkpoint(self, target_state=None,
+                                name="net_trained_last"):
+        path = self._find([name])
+        if path is None:
+            return None
+        print(f"Resuming from checkpoint: {path}", flush=True)
+        return _load_file(path, target_state)
+
+    def load_best_checkpoint(self, target_state=None):
+        path = self._find(["net_best"])
+        if path is None:
+            return None
+        return _load_file(path, target_state)
+
+
+def _flatten(tree, prefix=()):
+    out = {}
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            out.update(_flatten(v, prefix + (k,)))
+    else:
+        out[prefix] = tree
+    return out
+
+
+def load_backbone_only(checkpoint_path: str, params,
+                       scopes=("backbone", "add_on"), verbose=True):
+    """Load only backbone (+ add-on) params from any checkpoint, skipping
+    shape mismatches — cross-architecture backbone sharing
+    (reference util/selective_loading.py:14-162, wired at main.py:124-141).
+
+    Returns (new_params, info dict with loaded/total counts).
+    """
+    raw, _meta = _load_file(checkpoint_path)
+    src_params = raw.get("params", raw)
+
+    flat_src = _flatten(src_params)
+    flat_dst = _flatten(params)
+    loaded, total = 0, 0
+    new_flat = dict(flat_dst)
+    for key, dst_leaf in flat_dst.items():
+        if key[0] not in scopes:
+            continue
+        total += 1
+        src_leaf = flat_src.get(key)
+        if src_leaf is None:
+            continue
+        if tuple(np.shape(src_leaf)) != tuple(np.shape(dst_leaf)):
+            if verbose:
+                print(f"skip (shape mismatch): {'/'.join(key)} "
+                      f"{np.shape(src_leaf)} vs {np.shape(dst_leaf)}")
+            continue
+        new_flat[key] = np.asarray(src_leaf)
+        loaded += 1
+
+    def unflatten(flat):
+        root: Dict[str, Any] = {}
+        for key, v in flat.items():
+            node = root
+            for k in key[:-1]:
+                node = node.setdefault(k, {})
+            node[key[-1]] = v
+        return root
+
+    if verbose:
+        print(f"Loaded {loaded}/{total} backbone parameters from "
+              f"{checkpoint_path}")
+    return unflatten(new_flat), {"success": loaded > 0,
+                                 "loaded_params": loaded,
+                                 "total_backbone_params": total}
+
+
+def find_shared_backbone(directory: str):
+    """Search a directory for candidate checkpoints, preferring pretrained
+    (reference selective_loading.py:164-200)."""
+    candidates = []
+    for sub in ("checkpoints", "."):
+        d = os.path.join(directory, sub)
+        if not os.path.isdir(d):
+            continue
+        for name in sorted(os.listdir(d)):
+            if name.endswith(".json"):
+                continue
+            if name.startswith("net_pretrained"):
+                candidates.insert(0, os.path.join(d, name))
+            elif name.startswith("net_"):
+                candidates.append(os.path.join(d, name))
+    return candidates[0] if candidates else None
