@@ -1,0 +1,85 @@
+"""Benchmark: Count-PIPNet inference throughput on one TPU chip.
+
+Measures the BASELINE.json north-star metric: images/sec/chip for
+Count-PIPNet inference (full convnext_tiny_26 backbone, CUB-200-scale:
+200 classes, 224x224, bf16 compute) against the 5000 img/s/chip target.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import os
+import sys
+import time
+
+BASELINE_IMGS_PER_SEC = 5000.0
+
+
+def main():
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                          os.path.join(os.path.dirname(__file__),
+                                       ".jax_cache"))
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from count_pipnet_tpu.models import get_count_network
+
+    class Args:
+        net = "convnext_tiny_26"
+        num_features = 0
+        use_mid_layers = False
+        num_stages = 7
+        bias = False
+        activation = "gumbel_softmax"
+        intermediate_layer = "onehot"
+        positive_grad_strategy = None
+        backward_clamp_strategy = "Identity"
+        disable_pretrained = True
+
+    on_tpu = jax.devices()[0].platform != "cpu"
+    batch = 256 if on_tpu else 8
+    image = 224
+    dtype = jnp.bfloat16 if on_tpu else jnp.float32
+
+    model, _ = get_count_network(200, Args, max_count=3, use_ste=True,
+                                 dtype=dtype)
+    rngs = {"params": jax.random.PRNGKey(0),
+            "gumbel": jax.random.PRNGKey(1)}
+    x0 = jnp.zeros((batch, image, image, 3), jnp.float32)
+    params = model.init(rngs, x0)["params"]
+
+    @jax.jit
+    def infer(params, x, rng):
+        proto, counts, out = model.apply(
+            {"params": params}, x, inference=True, train=False,
+            rngs={"gumbel": rng})
+        return counts, out
+
+    x = jnp.asarray(np.random.default_rng(0).normal(
+        size=(batch, image, image, 3)).astype(np.float32))
+    rng = jax.random.PRNGKey(2)
+
+    # compile + warmup (fetch to host — on the remote-tunnel TPU backend,
+    # block_until_ready alone does not guarantee remote completion)
+    jax.device_get(infer(params, x, rng))
+    jax.device_get(infer(params, x, rng))
+
+    iters = 30 if on_tpu else 3
+    t0 = time.perf_counter()
+    for i in range(iters):
+        counts, out = infer(params, x, jax.random.fold_in(rng, i))
+    out_host = jax.device_get(out)  # forces the whole chain to completion
+    dt = time.perf_counter() - t0
+    assert np.all(np.isfinite(out_host))
+
+    imgs_per_sec = batch * iters / dt
+    print(json.dumps({
+        "metric": "count_pipnet_inference_throughput",
+        "value": round(imgs_per_sec, 1),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(imgs_per_sec / BASELINE_IMGS_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

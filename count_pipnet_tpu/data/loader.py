@@ -37,14 +37,26 @@ def make_weighted_sample_weights(targets: Sequence[int]) -> np.ndarray:
     return np.asarray([class_weight[t] for t in targets], dtype=np.float64)
 
 
+try:
+    from ..native import stack_batch as _native_stack
+except Exception:  # pragma: no cover
+    _native_stack = None
+
+
 def _stack(items):
-    """Stack a list of per-item tuples into a tuple of batched arrays."""
+    """Stack a list of per-item tuples into a tuple of batched arrays
+    (C++ parallel memcpy when the native extension is available)."""
     n_fields = len(items[0])
     out = []
     for f in range(n_fields):
         field = [it[f] for it in items]
         if isinstance(field[0], np.ndarray):
-            out.append(np.stack(field))
+            if (_native_stack is not None
+                    and field[0].dtype == np.float32
+                    and field[0].ndim >= 2):
+                out.append(_native_stack(field))
+            else:
+                out.append(np.stack(field))
         else:
             out.append(np.asarray(field))
     return tuple(out)
@@ -86,7 +98,9 @@ class DataLoader:
         return idx
 
     def _load_item(self, index: int):
-        item_rng = random.Random((self.seed, self.epoch, int(index)))
+        # deterministic per-(seed, epoch, index) stream
+        mix = (self.seed * 1_000_003 + self.epoch) * 1_000_003 + int(index)
+        item_rng = random.Random(mix)
         return self.dataset[(int(index), item_rng)]
 
     def __iter__(self) -> Iterator:
@@ -106,13 +120,19 @@ class DataLoader:
         stop = threading.Event()
 
         def producer():
-            with ThreadPoolExecutor(self.num_workers) as pool:
-                for chunk in batches:
-                    if stop.is_set():
-                        break
-                    items = list(pool.map(self._load_item, chunk))
-                    q.put(_stack(items))
-            q.put(None)
+            # The sentinel (None on success, the exception on failure) MUST
+            # reach the queue no matter what, or the consumer deadlocks.
+            try:
+                with ThreadPoolExecutor(self.num_workers) as pool:
+                    for chunk in batches:
+                        if stop.is_set():
+                            return
+                        items = list(pool.map(self._load_item, chunk))
+                        q.put(_stack(items))
+            except BaseException as e:  # noqa: BLE001 — re-raised below
+                q.put(e)
+            else:
+                q.put(None)
 
         thread = threading.Thread(target=producer, daemon=True)
         thread.start()
@@ -123,14 +143,15 @@ class DataLoader:
                     batch = q.get()
                     if batch is None:
                         break
+                    if isinstance(batch, BaseException):
+                        raise batch
                     yield batch
             finally:
                 stop.set()
-                # Drain so the producer can exit.
+                # Drain so a blocked producer can exit.
                 while thread.is_alive():
                     try:
-                        if q.get_nowait() is None:
-                            break
+                        q.get_nowait()
                     except Exception:
                         thread.join(timeout=0.1)
 

@@ -1,0 +1,399 @@
+"""Prototype visualization: top-k patch projection and rendering.
+
+Reference: util/vis_pipnet.py (vizualize_network dispatcher :30-66, PIPNet
+variant :68-497, Count variant :499-1043, get_img_coordinates :1162-1193).
+
+TPU-native redesign: the reference scores the projection set one image at a
+time (bs=1 DataLoader, the p50-latency bottleneck tracked in BASELINE.json);
+here the whole set is scored in jitted device batches — pooled scores and
+per-prototype argmax patch locations come back in one pass — and only the
+top-k bookkeeping, patch cropping, and grid rendering run on host (PIL).
+
+Artifacts (matching the reference's tree, README.md:52-65):
+  <log_dir>/<foldername>/prototype_<p>/p<p>_<rank>_sim<score>.png
+  <log_dir>/<foldername>/grid_topk_<p>.png
+  <log_dir>/<foldername>/grid_topk_all.png
+  (count variant: patches grouped/annotated by count value)
+"""
+
+import os
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from PIL import Image, ImageDraw
+
+from ..models.pipnet import CountPIPNet, importance_per_class
+from ..utils.func import get_patch_size
+
+__all__ = ["vizualize_network", "get_img_coordinates", "score_projection_set"]
+
+
+def get_img_coordinates(img_size, softmaxes_shape, patchsize, skip, h_idx,
+                        w_idx):
+    """Latent (h, w) -> pixel patch box, with the reference's special-case
+    edge handling for 26x26 latents (util/vis_pipnet.py:1162-1193).
+
+    softmaxes_shape is (num_prototypes, H, W) like the reference's CHW
+    convention.
+    """
+    if softmaxes_shape[1] == 26 and softmaxes_shape[2] == 26:
+        h_coor_min = max(0, (h_idx - 1) * skip + 4)
+        if h_idx < softmaxes_shape[-1] - 1:
+            h_coor_max = h_coor_min + patchsize
+        else:
+            h_coor_min -= 4
+            h_coor_max = h_coor_min + patchsize
+        w_coor_min = max(0, (w_idx - 1) * skip + 4)
+        if w_idx < softmaxes_shape[-1] - 1:
+            w_coor_max = w_coor_min + patchsize
+        else:
+            w_coor_min -= 4
+            w_coor_max = w_coor_min + patchsize
+    else:
+        h_coor_min = h_idx * skip
+        h_coor_max = min(img_size, h_idx * skip + patchsize)
+        w_coor_min = w_idx * skip
+        w_coor_max = min(img_size, w_idx * skip + patchsize)
+
+    if h_idx == softmaxes_shape[1] - 1:
+        h_coor_max = img_size
+    if w_idx == softmaxes_shape[2] - 1:
+        w_coor_max = img_size
+    if h_coor_max == img_size:
+        h_coor_min = img_size - patchsize
+    if w_coor_max == img_size:
+        w_coor_min = img_size - patchsize
+    return h_coor_min, h_coor_max, w_coor_min, w_coor_max
+
+
+def _make_score_fn(model, params, batch_stats, tau):
+    """Jitted scorer: batch of images -> (pooled, max patch activation,
+    argmax patch location) per prototype."""
+    model_state = {"batch_stats": batch_stats} if batch_stats else {}
+
+    @jax.jit
+    def score(xs, rng):
+        proto, pooled, out = model.apply(
+            {"params": params, **model_state}, xs, inference=True,
+            train=False, tau=tau, rngs={"gumbel": rng})
+        proto = proto.astype(jnp.float32)  # [B, H, W, P]
+        b, h, w, p = proto.shape
+        flat = proto.reshape(b, h * w, p)
+        max_act = jnp.max(flat, axis=1)           # [B, P]
+        argmax = jnp.argmax(flat, axis=1)         # [B, P]
+        h_idx = argmax // w
+        w_idx = argmax % w
+        return pooled.astype(jnp.float32), max_act, h_idx, w_idx
+
+    return score
+
+
+def score_projection_set(model, params, batch_stats, projectloader, *,
+                         tau=1.0, batch=64, rng=None):
+    """Score every projection image in device batches.
+
+    Returns dict of numpy arrays: pooled [N,P], max_act [N,P], h_idx [N,P],
+    w_idx [N,P], ys [N], plus the latent grid (H, W).
+    """
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+    score = _make_score_fn(model, params, batch_stats, tau)
+
+    xs_buf, ys_buf = [], []
+    outs = {"pooled": [], "max_act": [], "h_idx": [], "w_idx": []}
+    latent_hw = [None]
+
+    def flush():
+        if not xs_buf:
+            return
+        n = len(xs_buf)
+        xs = np.stack(xs_buf)
+        if n < batch:  # pad to the compiled batch size
+            pad = np.repeat(xs[-1:], batch - n, axis=0)
+            xs = np.concatenate([xs, pad])
+        nonlocal rng
+        rng, sub = jax.random.split(rng)
+        pooled, max_act, h_idx, w_idx = jax.device_get(
+            score(jnp.asarray(xs), sub))
+        outs["pooled"].append(pooled[:n])
+        outs["max_act"].append(max_act[:n])
+        outs["h_idx"].append(h_idx[:n])
+        outs["w_idx"].append(w_idx[:n])
+        xs_buf.clear()
+
+    for item in projectloader:
+        xs, ys = item
+        for i in range(xs.shape[0]):
+            xs_buf.append(np.asarray(xs[i], np.float32))
+            ys_buf.append(int(ys[i]))
+            if len(xs_buf) == batch:
+                flush()
+    flush()
+
+    pooled = np.concatenate(outs["pooled"]) if outs["pooled"] else \
+        np.zeros((0, model.num_prototypes))
+    return {
+        "pooled": pooled,
+        "max_act": np.concatenate(outs["max_act"]) if outs["max_act"]
+        else pooled,
+        "h_idx": np.concatenate(outs["h_idx"]) if outs["h_idx"] else pooled,
+        "w_idx": np.concatenate(outs["w_idx"]) if outs["w_idx"] else pooled,
+        "ys": np.asarray(ys_buf, np.int64),
+    }
+
+
+def _dataset_paths(loader) -> List[str]:
+    """Resolve the ordered file paths behind a (possibly Subset-wrapped)
+    projection dataset."""
+    ds = loader.dataset
+    indices = None
+    if hasattr(ds, "indices"):
+        indices = ds.indices
+        ds = ds.dataset
+    base = getattr(ds, "base", ds)
+    imgs = base.imgs
+    if indices is not None:
+        imgs = [imgs[i] for i in indices]
+    return [p for p, _ in imgs]
+
+
+def _load_resized(path, img_size):
+    with Image.open(path) as im:
+        return im.convert("RGB").resize((img_size, img_size),
+                                        Image.BILINEAR)
+
+
+def _save_grid(images: List[Image.Image], path: str, nrow: int = 10,
+               pad: int = 1, labels: Optional[List[str]] = None):
+    """PIL replacement for torchvision.utils.make_grid + save_image."""
+    if not images:
+        return
+    w, h = images[0].size
+    label_h = 12 if labels else 0
+    n = len(images)
+    rows = (n + nrow - 1) // nrow
+    grid = Image.new(
+        "RGB", (nrow * (w + pad) + pad, rows * (h + pad + label_h) + pad),
+        (255, 255, 255))
+    draw = ImageDraw.Draw(grid)
+    for i, im in enumerate(images):
+        r, c = divmod(i, nrow)
+        x = pad + c * (w + pad)
+        y = pad + r * (h + pad + label_h)
+        grid.paste(im, (x, y))
+        if labels:
+            draw.text((x, y + h), labels[i], fill=(0, 0, 0))
+    grid.save(path)
+
+
+def _importance_filter(model, params, are_pretraining: bool):
+    """Prototypes worth rendering: max classifier weight > 1e-1, or all
+    during pretraining (reference vis_pipnet.py:114-118,192)."""
+    num_p = model.num_prototypes
+    if are_pretraining:
+        return list(range(num_p)), np.ones(num_p)
+    if isinstance(model, CountPIPNet):
+        bound = model.bind({"params": params})
+        imp = np.asarray(importance_per_class(bound, params))  # [C, P]
+        per_proto = imp.max(axis=0)
+    else:
+        w = np.asarray(params["classification"]["weight"])
+        per_proto = w.max(axis=0)
+    keep = [p for p in range(num_p) if per_proto[p] > 1e-1]
+    return keep, per_proto
+
+
+DEFAULT_CLASS_TO_COUNT = {(1, 3): 1, (4, 6): 2, (7, 9): 3}
+
+
+def _count_from_class(class_label: int,
+                      mapping=None) -> Optional[int]:
+    """Shapes-dataset class -> object count (reference
+    vis_pipnet.py:533-546; classes 1-3 have count 1, etc.)."""
+    mapping = mapping or DEFAULT_CLASS_TO_COUNT
+    for (start, end), count in mapping.items():
+        if start <= class_label + 1 <= end:
+            return count
+    return None
+
+
+def vizualize_network(trainer, projectloader, num_classes, foldername, args,
+                      k=10, verbose=True, are_pretraining_prototypes=False,
+                      plot_histograms=False, histogram_type="per-class",
+                      visualize_prototype_maps=False,
+                      max_feature_maps_per_prototype=3,
+                      plot_topk=True, prototype_labels=None,
+                      only_important_prototypes=False,
+                      plot_always_histograms=False,
+                      normalize_frequencies=True,
+                      histogram_return_type="mean_values",
+                      filter_outlier_prototypes=True):
+    """Dispatcher (reference vis_pipnet.py:30-66): Count-PIPNet models get
+    count-grouped buffers, PIP-Net gets plain top-k.
+
+    ``trainer`` is a train.trainer.Trainer (or any object with .model,
+    .params, .batch_stats, .tau).
+    """
+    model = trainer.model
+    params = jax.device_get(trainer.params)
+    batch_stats = jax.device_get(trainer.batch_stats) \
+        if getattr(trainer, "batch_stats", None) else {}
+    tau = getattr(trainer, "tau", 1.0)
+
+    out_dir = os.path.join(args.log_dir, foldername)
+    os.makedirs(out_dir, exist_ok=True)
+
+    stats = score_projection_set(model, params, batch_stats, projectloader,
+                                 tau=tau)
+    paths = _dataset_paths(projectloader)
+    n = stats["pooled"].shape[0]
+    assert len(paths) >= n, "path bookkeeping out of sync"
+
+    keep, per_proto_importance = _importance_filter(
+        model, params, are_pretraining_prototypes)
+    if verbose:
+        print(f"Visualizing {len(keep)} prototypes "
+              f"(of {model.num_prototypes})...", flush=True)
+
+    img_size = args.image_size
+    wshape = getattr(args, "wshape", None)
+    # latent grid size from the scorer's index range
+    latent_w = int(stats["w_idx"].max()) + 1 if n else (wshape or 1)
+    latent_h = int(stats["h_idx"].max()) + 1 if n else (wshape or 1)
+    if wshape:
+        latent_h = latent_w = wshape
+    patchsize, skip = get_patch_size(img_size, latent_w)
+    softmaxes_shape = (model.num_prototypes, latent_h, latent_w)
+
+    is_count = isinstance(model, CountPIPNet)
+    topks: Dict[int, List[Tuple[int, float]]] = {}
+
+    for p in keep:
+        scores = stats["pooled"][:, p]
+        if is_count:
+            # per-count-group top-k, count-uniform sampling
+            # (reference vis_pipnet.py:652-833)
+            groups: Dict[int, List[int]] = {}
+            for i in range(n):
+                cnt = _count_from_class(int(stats["ys"][i]))
+                if cnt is None:
+                    cnt = 0
+                groups.setdefault(cnt, []).append(i)
+            chosen: List[Tuple[int, float]] = []
+            counts_sorted = sorted(c for c in groups if c > 0) or \
+                sorted(groups)
+            per_group = max(1, k // max(len(counts_sorted), 1))
+            for cnt in counts_sorted:
+                idxs = groups[cnt]
+                order = sorted(idxs, key=lambda i: -scores[i])[:per_group]
+                chosen += [(i, float(scores[i])) for i in order]
+        else:
+            order = np.argsort(-scores)[:k]
+            chosen = [(int(i), float(scores[i])) for i in order]
+        topks[p] = chosen
+
+    # ---- render patches & grids ----
+    all_grid_images, all_grid_labels = [], []
+    for p in keep:
+        proto_dir = os.path.join(out_dir, f"prototype_{p}")
+        patch_images = []
+        patch_labels = []
+        for rank, (i, score) in enumerate(topks[p]):
+            if score <= 0.0:
+                continue
+            h_idx = int(stats["h_idx"][i, p])
+            w_idx = int(stats["w_idx"][i, p])
+            h0, h1, w0, w1 = get_img_coordinates(
+                img_size, softmaxes_shape, patchsize, skip, h_idx, w_idx)
+            img = _load_resized(paths[i], img_size)
+            patch = img.crop((w0, h0, w1, h1))
+            if plot_topk:
+                os.makedirs(proto_dir, exist_ok=True)
+                patch.save(os.path.join(
+                    proto_dir, f"p{p}_{rank}_sim{score:.3f}.png"))
+            patch_images.append(patch)
+            if is_count:
+                cnt = _count_from_class(int(stats["ys"][i]))
+                patch_labels.append(f"c{cnt} {score:.2f}")
+            else:
+                patch_labels.append(f"{score:.2f}")
+        if patch_images:
+            _save_grid(patch_images,
+                       os.path.join(out_dir, f"grid_topk_{p}.png"),
+                       nrow=min(10, max(len(patch_images), 1)),
+                       labels=patch_labels)
+            all_grid_images += patch_images[:min(len(patch_images), k)]
+            all_grid_labels += [f"P{p}"] * min(len(patch_images), k)
+
+    if all_grid_images:
+        _save_grid(all_grid_images,
+                   os.path.join(out_dir, "grid_topk_all.png"), nrow=k,
+                   labels=all_grid_labels)
+
+    if visualize_prototype_maps:
+        _render_prototype_maps(model, params, batch_stats, tau, topks,
+                               paths, stats, out_dir, img_size,
+                               max_feature_maps_per_prototype)
+
+    if plot_histograms:
+        try:
+            from .histograms import plot_prototype_activations_by_class
+            plot_prototype_activations_by_class(
+                trainer, projectloader, num_classes,
+                os.path.join(out_dir, "histograms"), args,
+                histogram_type=histogram_type,
+                return_type=histogram_return_type,
+                filter_outlier_prototypes=filter_outlier_prototypes)
+        except Exception as e:
+            print(f"(histograms skipped: {e})", flush=True)
+
+    return topks
+
+
+def _render_prototype_maps(model, params, batch_stats, tau, topks, paths,
+                           stats, out_dir, img_size, max_maps):
+    """Heatmap overlays of prototype feature maps for the top images
+    (reference vis_pipnet.py:354-486, :888-1032)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.cm as cm
+
+    model_state = {"batch_stats": batch_stats} if batch_stats else {}
+
+    @jax.jit
+    def proto_maps(xs, rng):
+        proto, _, _ = model.apply(
+            {"params": params, **model_state}, xs, inference=True,
+            train=False, tau=tau, rngs={"gumbel": rng})
+        return proto.astype(jnp.float32)
+
+    rng = jax.random.PRNGKey(1)
+    from ..data import augment as A
+    normalize = A.Compose([A.ToArray(), A.Normalize()])
+
+    for p, items in topks.items():
+        maps_dir = os.path.join(out_dir, f"prototype_{p}", "maps")
+        done = 0
+        for (i, score) in items:
+            if done >= max_maps or score <= 0:
+                break
+            img = _load_resized(paths[i], img_size)
+            xs = normalize(img, None)[None]
+            rng, sub = jax.random.split(rng)
+            pm = np.asarray(proto_maps(jnp.asarray(xs), sub))[0, :, :, p]
+            pm = pm / (pm.max() + 1e-8)
+            heat = cm.jet(np.asarray(
+                Image.fromarray((pm * 255).astype(np.uint8)).resize(
+                    (img_size, img_size), Image.BILINEAR)) / 255.0)
+            heat_img = Image.fromarray(
+                (heat[..., :3] * 255).astype(np.uint8))
+            overlay = Image.blend(img, heat_img, 0.5)
+            os.makedirs(maps_dir, exist_ok=True)
+            side = Image.new("RGB", (img_size * 2 + 4, img_size), "white")
+            side.paste(img, (0, 0))
+            side.paste(overlay, (img_size + 4, 0))
+            side.save(os.path.join(
+                maps_dir, f"map_{done}_img{i}_sim{score:.3f}.png"))
+            done += 1

@@ -1,0 +1,75 @@
+"""Serving fast path: Count-PIPNet inference without proto-map
+materialization.
+
+The training/parity forward (CountPIPNet.__call__) returns the full
+[B, H, W, P] prototype maps because the align loss and all the
+interpretability tooling consume them (reference count_pipnet.py:70-110).
+Deployment classification only needs counts -> intermediate -> classifier,
+so this path fuses the add-on 1x1 conv + per-patch softmax + spatial sum
+into one Pallas kernel (ops/pallas/fused_head.py) and returns
+(clamped_counts, logits) only.
+
+Restrictions: softmax activation (the deterministic inference path).
+Gumbel-hard inference is stochastic by reference design
+(count_pipnet_utils.py:34-38) and keeps the XLA path.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.pallas.fused_head import (
+    fused_count_head, fused_count_head_reference,
+)
+from .intermediates import make_intermediate
+from .pipnet import CountPIPNet
+
+__all__ = ["make_serving_fn"]
+
+
+def make_serving_fn(model: CountPIPNet, *, use_pallas: bool = True,
+                    interpret: bool = False):
+    """Build a jittable (params, x) -> (clamped_counts, logits) function.
+
+    Falls back to the XLA fused reference on non-TPU backends
+    (``interpret=True`` runs the Pallas kernel in interpreter mode for
+    tests).
+    """
+    if model.activation != "softmax":
+        raise ValueError(
+            "serving fast path requires activation='softmax' (gumbel "
+            "inference is stochastic by design; use the standard forward)")
+
+    inter_mod = make_intermediate(
+        model.intermediate_type, model.num_prototypes, model.max_count,
+        use_ste=model.use_ste,
+        positive_grad_strategy=model.positive_grad_strategy)
+
+    def fn(params, x):
+        feats = model.backbone.apply({"params": params["backbone"]}, x,
+                                     deterministic=True)
+        if model.num_features > 0:
+            kernel = params["add_on"]["conv1x1"]["kernel"]  # [1,1,C,P]
+            w = kernel.reshape(kernel.shape[-2], kernel.shape[-1])
+            b = params["add_on"]["conv1x1"]["bias"]
+        else:
+            p = feats.shape[-1]
+            w = jnp.eye(p, dtype=jnp.float32)
+            b = jnp.zeros((p,), jnp.float32)
+
+        if use_pallas:
+            counts = fused_count_head(feats, w, b, interpret=interpret)
+        else:
+            counts = fused_count_head_reference(feats, w, b)
+
+        clamped = jnp.clip(jnp.round(counts), 0.0, float(model.max_count))
+        inter = inter_mod.apply(
+            {"params": params.get("intermediate", {})}, clamped)
+        clf_w = params["classification"]["weight"]
+        out = inter @ jax.nn.relu(clf_w).T
+        if model.bias and "bias" in params["classification"]:
+            out = out + params["classification"]["bias"]
+        return clamped, out
+
+    return fn

@@ -1,0 +1,117 @@
+"""Pallas TPU kernel: fused prototype head for Count-PIPNet inference.
+
+The Count-PIPNet inference head is
+    backbone features [B, H, W, C]
+      -> 1x1 conv (C -> P)            (a matmul over the channel dim, MXU)
+      -> softmax over P per patch     (VPU)
+      -> sum over (H, W) = counts     (VPU reduction)
+(reference pipnet/count_pipnet.py:82-88). Executed naively this
+materializes the [B, H, W, P] prototype maps in HBM — at B=256, 26x26
+latents and P=768 that is ~0.5 GB of pure bandwidth per step that the
+classification path never needs. This kernel keeps each patch tile's
+logits in VMEM: one MXU matmul per (batch, HW-tile) grid step, softmax in
+registers, accumulate counts into the [B, P] output block.
+
+Layout: the HW axis is tiled at TILE_HW=256 (a multiple of the 8-lane
+sublane for fp32) and C/P stay full-width (multiples of 128 for ConvNeXt's
+768 channels). Remainder patches are masked.
+
+Used by the serving fast path (CountPIPNet.apply(..., counts_only=True))
+with softmax activation; the Gumbel-noise training path keeps the XLA
+implementation (it needs the full proto maps for the align loss anyway).
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["fused_count_head", "fused_count_head_reference"]
+
+TILE_HW = 256
+
+
+def _kernel(x_ref, w_ref, b_ref, out_ref, *, n_patches, tile_hw):
+    """Grid = (B, num_tiles). x block: [tile_hw, C]; w: [C, P]; b: [1, P];
+    out block: [1, P] accumulated across the tile dimension."""
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    logits = jnp.dot(x_ref[0], w_ref[:],
+                     preferred_element_type=jnp.float32)
+    logits = logits + b_ref[:]
+
+    # softmax over prototypes per patch (fp32 in VMEM)
+    m = jnp.max(logits, axis=1, keepdims=True)
+    e = jnp.exp(logits - m)
+    probs = e / jnp.sum(e, axis=1, keepdims=True)
+
+    # mask remainder rows of the last tile
+    row = jax.lax.broadcasted_iota(jnp.int32, probs.shape, 0)
+    valid = (row + t * tile_hw) < n_patches
+    probs = jnp.where(valid, probs, 0.0)
+
+    out_ref[:] = out_ref[:] + jnp.sum(probs, axis=0, keepdims=True)
+
+
+def fused_count_head(features, w, b, *, tile_hw: int = TILE_HW,
+                     interpret: bool = False):
+    """Counts [B, P] from backbone features without materializing proto
+    maps.
+
+    Args:
+      features: [B, H, W, C] (any float dtype; accumulated in fp32).
+      w: [C, P] 1x1-conv kernel.
+      b: [P] bias.
+
+    Returns:
+      [B, P] float32 prototype counts (sum of per-patch softmax).
+    """
+    btch, h, wd, c = features.shape
+    p = w.shape[1]
+    n_patches = h * wd
+    x = features.reshape(btch, n_patches, c)
+
+    num_tiles = pl.cdiv(n_patches, tile_hw)
+    pad = num_tiles * tile_hw - n_patches
+    if pad:
+        x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
+
+    kernel = functools.partial(_kernel, n_patches=n_patches,
+                               tile_hw=tile_hw)
+    out = pl.pallas_call(
+        kernel,
+        grid=(btch, num_tiles),
+        in_specs=[
+            pl.BlockSpec((1, tile_hw, c), lambda bi, t: (bi, t, 0),
+                         memory_space=pltpu.ANY
+                         if interpret else pltpu.VMEM),
+            pl.BlockSpec((c, p), lambda bi, t: (0, 0),
+                         memory_space=pltpu.ANY
+                         if interpret else pltpu.VMEM),
+            pl.BlockSpec((1, p), lambda bi, t: (0, 0),
+                         memory_space=pltpu.ANY
+                         if interpret else pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, p), lambda bi, t: (bi, 0),
+                               memory_space=pltpu.ANY
+                               if interpret else pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((btch, p), jnp.float32),
+        interpret=interpret,
+    )(x.astype(jnp.float32), w.astype(jnp.float32),
+      b.astype(jnp.float32).reshape(1, p))
+    return out
+
+
+def fused_count_head_reference(features, w, b):
+    """XLA reference implementation (for parity tests and as fallback)."""
+    btch, h, wd, c = features.shape
+    x = features.reshape(btch, h * wd, c).astype(jnp.float32)
+    logits = x @ w.astype(jnp.float32) + b.astype(jnp.float32)[None, None]
+    probs = jax.nn.softmax(logits, axis=-1)
+    return probs.sum(axis=1)

@@ -1,0 +1,34 @@
+"""CLI entry point: train a PIP-Net / Count-PIPNet on TPU.
+
+Usage parity with the reference (main.py:498-552):
+    python main.py --config configs/count_pipnet_shapes.yaml [--flags...]
+
+stdout is mirrored into <log_dir>/out.txt and stderr into <log_dir>/tqdm.txt
+like the reference's Tee; failures print a traceback and exit nonzero.
+"""
+
+import os
+import sys
+import traceback
+
+from count_pipnet_tpu.config import get_args
+from count_pipnet_tpu.train.trainer import run_pipnet
+from count_pipnet_tpu.utils.log import tee_std_streams
+
+
+def main():
+    args = get_args()
+    os.makedirs(args.log_dir, exist_ok=True)
+    restore = tee_std_streams(args.log_dir)
+    try:
+        run_pipnet(args)
+    except Exception as e:
+        print(f"Error: {e}")
+        traceback.print_exc()
+        raise
+    finally:
+        restore()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,109 @@
+"""Multi-config sweep runner.
+
+Reference: run_multiple_configs.py — runs a JSON list of YAML configs
+sequentially in-process, sharing pretrained backbones across runs keyed by
+``(seed, num_stages, num_features)`` (:236,263-276), per-run timestamped log
+dirs (:160-163), ``--continue_on_error`` (:303-311), and a final
+``summary.json`` with per-run status and wall-clock (:342-346).
+
+Usage:
+    python run_multiple_configs.py --config_list config_list.json \
+        [--continue_on_error] [--log_root ./runs]
+"""
+
+import argparse
+import json
+import os
+import time
+import traceback
+from datetime import datetime
+
+from count_pipnet_tpu.config import args_from_yaml
+
+
+def verify_compatible_pretraining_params(args_a, args_b) -> bool:
+    """Two runs can share a pretrained backbone iff the pretraining-relevant
+    architecture matches (reference run_multiple_configs.py:87-119)."""
+    keys = ("seed", "num_stages", "num_features", "net", "dataset",
+            "use_mid_layers", "activation", "image_size")
+    return all(getattr(args_a, k, None) == getattr(args_b, k, None)
+               for k in keys)
+
+
+def create_namespace_from_config(config_path, log_root, timestamp=None):
+    """YAML -> namespace with a per-run timestamped log dir
+    (reference run_multiple_configs.py:121-179)."""
+    timestamp = timestamp or datetime.now().strftime("%Y%m%d_%H%M%S")
+    name = os.path.splitext(os.path.basename(config_path))[0]
+    args = args_from_yaml(config_path)
+    args.log_dir = os.path.join(log_root, f"{name}_{timestamp}")
+    return args
+
+
+def run_all_configs(cmd_args):
+    with open(cmd_args.config_list) as f:
+        config_paths = json.load(f)
+    if isinstance(config_paths, dict):
+        config_paths = config_paths.get("configs", [])
+
+    from count_pipnet_tpu.train.trainer import run_pipnet
+
+    # pretrain-cache: (seed, num_stages, num_features) -> (ckpt_dir, args)
+    pretrained_cache = {}
+    summary = {"runs": [], "started": datetime.now().isoformat()}
+
+    for config_path in config_paths:
+        run_record = {"config": config_path, "status": "pending"}
+        t0 = time.time()
+        try:
+            args = create_namespace_from_config(config_path,
+                                                cmd_args.log_root)
+            key = (args.seed, getattr(args, "num_stages", None),
+                   args.num_features)
+            cached = pretrained_cache.get(key)
+            if cached is not None and verify_compatible_pretraining_params(
+                    cached[1], args):
+                print(f"Sharing pretrained backbone for key {key} from "
+                      f"{cached[0]}", flush=True)
+                args.pretrained_checkpoints_dir = cached[0]
+
+            print(f"\n===== Running {config_path} -> {args.log_dir} =====",
+                  flush=True)
+            run_pipnet(args)
+
+            if key not in pretrained_cache and args.epochs_pretrain > 0:
+                pretrained_cache[key] = (args.log_dir, args)
+            run_record["status"] = "success"
+            run_record["log_dir"] = args.log_dir
+        except Exception as e:
+            run_record["status"] = "failed"
+            run_record["error"] = str(e)
+            traceback.print_exc()
+            if not cmd_args.continue_on_error:
+                run_record["wall_clock_s"] = time.time() - t0
+                summary["runs"].append(run_record)
+                break
+        run_record["wall_clock_s"] = time.time() - t0
+        summary["runs"].append(run_record)
+
+    summary["finished"] = datetime.now().isoformat()
+    os.makedirs(cmd_args.log_root, exist_ok=True)
+    summary_path = os.path.join(cmd_args.log_root, "summary.json")
+    with open(summary_path, "w") as f:
+        json.dump(summary, f, indent=2)
+    print(f"Sweep summary written to {summary_path}", flush=True)
+    return summary
+
+
+def main():
+    p = argparse.ArgumentParser("Run multiple PIP-Net configs")
+    p.add_argument("--config_list", default="config_list.json",
+                   help="JSON file listing YAML config paths")
+    p.add_argument("--log_root", default="./runs")
+    p.add_argument("--continue_on_error", action="store_true")
+    cmd_args = p.parse_args()
+    run_all_configs(cmd_args)
+
+
+if __name__ == "__main__":
+    main()

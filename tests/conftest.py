@@ -15,3 +15,10 @@ if "xla_force_host_platform_device_count" not in _flags:
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+
+# A sitecustomize may have force-registered a remote TPU backend and
+# overridden jax_platforms via jax.config (ignoring the env var). Tests must
+# run on the virtual CPU mesh — override back through the config API.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")

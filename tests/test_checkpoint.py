@@ -1,0 +1,143 @@
+"""Checkpoint manager: roles, hash discovery, resume, selective loading."""
+
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from count_pipnet_tpu.utils.checkpoint import (
+    CheckpointManager, config_hash, load_backbone_only,
+    find_shared_backbone,
+)
+from count_pipnet_tpu.utils.log import Log
+
+
+class Args:
+    def __init__(self, log_dir):
+        self.log_dir = log_dir
+        self.max_count = 3
+        self.use_mid_layers = True
+        self.num_stages = 2
+        self.num_features = 8
+        self.activation = "gumbel_softmax"
+        self.net = "convnext_tiny_26"
+        self.dataset = "geometric_shapes"
+        self.pretrained_checkpoints_dir = ""
+        self.state_dict_dir_net = ""
+
+
+def fake_params(scale=1.0):
+    return {
+        "backbone": {"features_0": {"conv": {
+            "kernel": np.full((2, 2, 3, 4), scale, np.float32)}}},
+        "add_on": {"conv1x1": {"kernel": np.ones((1, 1, 4, 8), np.float32),
+                               "bias": np.zeros((8,), np.float32)}},
+        "classification": {"weight": np.ones((3, 24), np.float32) * scale,
+                           "multiplier": np.ones((1,), np.float32)},
+    }
+
+
+class TestRolesAndResume:
+    def test_three_roles(self, tmp_path):
+        args = Args(str(tmp_path / "run"))
+        Log(args.log_dir)
+        cm = CheckpointManager(args)
+        p = fake_params()
+        cm.save_pretrained_checkpoint(p)
+        cm.save_trained_checkpoint(p, {}, {"mu": {}}, epoch=3)
+        assert cm.save_best_checkpoint(p, {}, {}, 3, 0.8)
+        assert not cm.save_best_checkpoint(p, {}, {}, 4, 0.7)  # worse
+        assert cm.save_best_checkpoint(p, {}, {}, 5, 0.9)
+
+        d = tmp_path / "run/checkpoints"
+        for name in ("net_pretrained", f"net_pretrained_{cm.hash}",
+                     "net_trained", "net_trained_last", "net_best"):
+            assert (d / name).exists(), name
+
+        state, meta = cm.load_trained_checkpoint()
+        assert meta["epoch"] == 3
+        np.testing.assert_allclose(
+            state["params"]["classification"]["weight"],
+            p["classification"]["weight"])
+
+        state, meta = cm.load_best_checkpoint()
+        assert meta["accuracy"] == pytest.approx(0.9)
+        assert meta["epoch"] == 5
+
+    def test_hash_depends_on_pretraining_params(self, tmp_path):
+        a1 = Args(str(tmp_path / "a"))
+        a2 = Args(str(tmp_path / "b"))
+        assert config_hash(a1) == config_hash(a2)
+        a2.num_stages = 3
+        assert config_hash(a1) != config_hash(a2)
+
+    def test_hash_discovery_across_dirs(self, tmp_path):
+        src_args = Args(str(tmp_path / "src"))
+        Log(src_args.log_dir)
+        cm_src = CheckpointManager(src_args)
+        cm_src.save_pretrained_checkpoint(fake_params(2.0))
+
+        dst_args = Args(str(tmp_path / "dst"))
+        dst_args.pretrained_checkpoints_dir = src_args.log_dir
+        Log(dst_args.log_dir)
+        cm_dst = CheckpointManager(dst_args)
+        res = cm_dst.load_pretrained_checkpoint()
+        assert res is not None
+        state, _ = res
+        np.testing.assert_allclose(
+            state["params"]["classification"]["weight"][0, 0], 2.0)
+
+    def test_mismatched_hash_not_found(self, tmp_path):
+        src_args = Args(str(tmp_path / "src"))
+        Log(src_args.log_dir)
+        CheckpointManager(src_args).save_pretrained_checkpoint(fake_params())
+
+        dst_args = Args(str(tmp_path / "dst"))
+        dst_args.num_stages = 5  # different pretraining config
+        dst_args.pretrained_checkpoints_dir = src_args.log_dir
+        Log(dst_args.log_dir)
+        assert CheckpointManager(dst_args).load_pretrained_checkpoint() \
+            is None
+
+
+class TestSelectiveLoading:
+    def test_backbone_only_skips_mismatches(self, tmp_path):
+        args = Args(str(tmp_path / "run"))
+        Log(args.log_dir)
+        cm = CheckpointManager(args)
+        cm.save_pretrained_checkpoint(fake_params(3.0))
+        path = os.path.join(args.log_dir, "checkpoints", "net_pretrained")
+
+        target = fake_params(1.0)
+        # classifier has a different shape in the target (should be kept)
+        target["classification"]["weight"] = np.zeros((5, 24), np.float32)
+        new_params, info = load_backbone_only(path, target)
+        assert info["success"]
+        np.testing.assert_allclose(
+            new_params["backbone"]["features_0"]["conv"]["kernel"][0, 0, 0,
+                                                                   0], 3.0)
+        # non-backbone scope untouched
+        np.testing.assert_allclose(
+            new_params["classification"]["weight"], 0.0)
+
+    def test_find_shared_backbone(self, tmp_path):
+        args = Args(str(tmp_path / "run"))
+        Log(args.log_dir)
+        CheckpointManager(args).save_pretrained_checkpoint(fake_params())
+        found = find_shared_backbone(args.log_dir)
+        assert found is not None and "net_pretrained" in found
+
+
+class TestLog:
+    def test_schema_checking(self, tmp_path):
+        log = Log(str(tmp_path / "run"))
+        log.create_log("metrics", "epoch", "a", "b")
+        log.log_values("metrics", 1, 0.5, 0.7)
+        with pytest.raises(ValueError):
+            log.log_values("metrics", 2, 0.5)
+        with pytest.raises(KeyError):
+            log.log_values("nope", 1, 2, 3)
+        content = (tmp_path / "run/metrics.csv").read_text().splitlines()
+        assert content[0] == "epoch,a,b"
+        assert content[1] == "1,0.5,0.7"

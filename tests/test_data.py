@@ -1,0 +1,147 @@
+"""Data pipeline tests: generators, ImageFolder, two-view loader,
+determinism, weighted sampling."""
+
+import os
+import random
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from count_pipnet_tpu.data import augment as A
+from count_pipnet_tpu.data.datasets import (
+    ImageFolder, TwoAugDataset, TransformedDataset, Subset, stratified_split,
+)
+from count_pipnet_tpu.data.loader import (
+    DataLoader, make_weighted_sample_weights,
+)
+from count_pipnet_tpu.data.generate_shapes import GeometricShapesGenerator
+
+
+@pytest.fixture(scope="module")
+def shapes_dir(tmp_path_factory):
+    root = tmp_path_factory.mktemp("shapes")
+    gen = GeometricShapesGenerator({
+        "output_dir": str(root), "img_size": 64,
+        "train_samples_per_class": 4, "test_samples_per_class": 2,
+        "seed": 0,
+        "class_definitions": [("circle", 1), ("triangle", 2),
+                              ("hexagon", 3)],
+        "size_mean": 12, "size_std": 2, "min_object_size": 8,
+        "max_object_size": 16,
+    })
+    gen.generate_dataset()
+    return root
+
+
+class TestGenerator:
+    def test_imagefolder_layout(self, shapes_dir):
+        train = ImageFolder(shapes_dir / "train")
+        assert train.classes == ["class_1", "class_2", "class_3"]
+        assert len(train) == 12
+        test = ImageFolder(shapes_dir / "test")
+        assert len(test) == 6
+
+    def test_images_valid(self, shapes_dir):
+        ds = ImageFolder(shapes_dir / "train")
+        img = ds.load_image(0)
+        assert img.size == (64, 64)
+        assert img.mode == "RGB"
+        arr = np.asarray(img)
+        # white-ish background with some colored shape pixels
+        assert arr.mean() > 150
+        assert arr.std() > 5
+
+
+class TestTransforms:
+    def test_no_augment_pipeline(self, shapes_dir):
+        t = A.Compose([A.Resize(32), A.ToArray(), A.Normalize()])
+        ds = TransformedDataset(ImageFolder(shapes_dir / "train"), t)
+        arr, y = ds[(0, random.Random(0))]
+        assert arr.shape == (32, 32, 3)
+        assert arr.dtype == np.float32
+        assert y == 0
+
+    def test_two_views_differ_but_share_geometry(self, shapes_dir):
+        t1 = A.Compose([A.Resize(48), A.RandomRotation(10, fill=255),
+                        A.RandomResizedCrop(40, scale=(0.95, 1.0))])
+        t2 = A.Compose([A.ColorJitter(0.5, 0.5), A.RandomCrop(32),
+                        A.ToArray(), A.Normalize()])
+        ds = TwoAugDataset(ImageFolder(shapes_dir / "train"), t1, t2)
+        v1, v2, y = ds[(0, random.Random(3))]
+        assert v1.shape == v2.shape == (32, 32, 3)
+        assert not np.allclose(v1, v2)  # independent photometric draws
+
+    def test_trivial_augment_spaces(self):
+        img = Image.new("RGB", (32, 32), (128, 64, 32))
+        rng = random.Random(0)
+        for cls in (A.TrivialAugmentWide, A.TrivialAugmentWideNoColor,
+                    A.TrivialAugmentWideNoShape,
+                    A.TrivialAugmentWideNoShapeWithColor):
+            aug = cls()
+            for _ in range(25):  # exercise every op in the space
+                out = aug(img, rng)
+                assert out.size == (32, 32)
+
+    def test_nocolor_space_is_geometry_only(self):
+        ops = set(A.TrivialAugmentWideNoColor().ops)
+        assert ops == {"Identity", "ShearX", "ShearY", "TranslateX",
+                       "TranslateY", "Rotate"}
+
+    def test_noshape_space_has_tiny_color(self):
+        aug = A.TrivialAugmentWideNoShape()
+        mags, signed = aug.space["Color"]
+        assert signed and mags.max() <= 0.02
+        assert "Solarize" not in aug.space
+        assert "Rotate" not in aug.space
+
+
+class TestLoader:
+    def test_two_view_batches(self, shapes_dir):
+        t1 = A.Compose([A.Resize(40)])
+        t2 = A.Compose([A.RandomCrop(32), A.ToArray(), A.Normalize()])
+        ds = TwoAugDataset(ImageFolder(shapes_dir / "train"), t1, t2)
+        loader = DataLoader(ds, batch_size=4, shuffle=True, drop_last=True,
+                            num_workers=2, seed=5)
+        batches = list(loader)
+        assert len(batches) == 3
+        xs1, xs2, ys = batches[0]
+        assert xs1.shape == (4, 32, 32, 3)
+        assert xs2.shape == (4, 32, 32, 3)
+        assert ys.shape == (4,)
+
+    def test_epoch_determinism_and_reshuffle(self, shapes_dir):
+        t = A.Compose([A.Resize(16), A.ToArray()])
+        ds = TransformedDataset(ImageFolder(shapes_dir / "train"), t)
+        loader = DataLoader(ds, batch_size=4, shuffle=True, drop_last=True,
+                            num_workers=2, seed=5)
+        loader.set_epoch(1)
+        ys_a = np.concatenate([b[1] for b in loader])
+        ys_b = np.concatenate([b[1] for b in loader])
+        np.testing.assert_array_equal(ys_a, ys_b)  # same epoch = same order
+        loader.set_epoch(2)
+        ys_c = np.concatenate([b[1] for b in loader])
+        assert not np.array_equal(ys_a, ys_c)  # different epoch reshuffles
+
+    def test_weighted_sampler_balances(self):
+        targets = [0] * 90 + [1] * 10
+        w = make_weighted_sample_weights(targets)
+        assert w[0] == pytest.approx(1 / 90)
+        assert w[-1] == pytest.approx(1 / 10)
+
+    def test_drop_last_false_keeps_remainder(self, shapes_dir):
+        t = A.Compose([A.Resize(16), A.ToArray()])
+        ds = TransformedDataset(ImageFolder(shapes_dir / "train"), t)
+        loader = DataLoader(ds, batch_size=5, shuffle=False, drop_last=False,
+                            num_workers=1, seed=0)
+        sizes = [b[1].shape[0] for b in loader]
+        assert sizes == [5, 5, 2]
+
+
+class TestSplit:
+    def test_stratified(self):
+        targets = [0] * 10 + [1] * 10
+        tr, te = stratified_split(targets, 0.2, seed=0)
+        assert len(te) == 4
+        te_targets = [targets[i] for i in te]
+        assert te_targets.count(0) == 2 and te_targets.count(1) == 2

@@ -1,0 +1,95 @@
+"""End-to-end smoke test: full two-phase Count-PIPNet training on a tiny
+generated shapes dataset (the reference's de-facto e2e fixture,
+SURVEY.md §4), exercising loaders, the jitted train step on an 8-device CPU
+mesh, eval, CSV logging, and checkpoints."""
+
+import os
+
+import numpy as np
+import pytest
+
+from count_pipnet_tpu.config import build_parser
+from count_pipnet_tpu.data.generate_shapes import GeometricShapesGenerator
+
+
+@pytest.fixture(scope="module")
+def run_env(tmp_path_factory):
+    root = tmp_path_factory.mktemp("e2e")
+    data_dir = root / "data/geometric_shapes/dataset"
+    gen = GeometricShapesGenerator({
+        "output_dir": str(data_dir), "img_size": 64,
+        "train_samples_per_class": 8, "test_samples_per_class": 4,
+        "seed": 0,
+        "class_definitions": [("circle", 1), ("triangle", 2),
+                              ("hexagon", 3)],
+        "size_mean": 12, "size_std": 2, "min_object_size": 8,
+        "max_object_size": 16,
+    })
+    gen.generate_dataset()
+    return root
+
+
+def make_args(root, **overrides):
+    args = build_parser().parse_args([])
+    defaults = dict(
+        dataset="geometric_shapes", model="count_pipnet", image_size=64,
+        net="convnext_tiny_26", use_mid_layers=True, num_stages=1,
+        num_features=8, max_count=3, use_ste=True,
+        activation="gumbel_softmax", intermediate_layer="onehot",
+        batch_size=8, batch_size_pretrain=8, epochs=2, epochs_pretrain=1,
+        epochs_finetune=1, freeze_epochs=0, lr=0.01, lr_block=0.001,
+        lr_net=0.001, num_workers=2, seed=1, dtype="float32",
+        log_dir=str(root / "runs/e2e"), enforce_weight_sparsity=True,
+        tanh_loss_coeff=0.1, disable_pretrained=True,
+    )
+    defaults.update(overrides)
+    for k, v in defaults.items():
+        setattr(args, k, v)
+    return args
+
+
+@pytest.mark.slow
+def test_full_training_run(run_env, monkeypatch):
+    monkeypatch.chdir(run_env)
+    from count_pipnet_tpu.train.trainer import run_pipnet
+
+    args = make_args(run_env)
+    trainer = run_pipnet(args)
+
+    # CSV log written with the 15-column schema
+    csv = run_env / "runs/e2e/log_epoch_overview.csv"
+    assert csv.exists()
+    lines = csv.read_text().strip().splitlines()
+    header = lines[0].split(",")
+    assert header[0] == "epoch"
+    assert len(lines) == 1 + args.epochs_pretrain + args.epochs
+    # pretrain rows have n.a. accuracy, main rows have numbers
+    assert lines[1].split(",")[1] == "n.a."
+    float(lines[-1].split(",")[1])
+
+    # checkpoints with all three roles
+    ckpt_dir = run_env / "runs/e2e/checkpoints"
+    for name in ("net_pretrained", "net_trained", "net_trained_last",
+                 "net_best"):
+        assert (ckpt_dir / name).exists(), name
+
+    # metadata saved
+    assert (run_env / "runs/e2e/metadata/args.txt").exists()
+    assert (run_env / "runs/e2e/metadata/args.pickle").exists()
+
+    # params finite
+    import jax
+    flat = jax.tree_util.tree_leaves(jax.device_get(trainer.params))
+    for leaf in flat:
+        assert np.all(np.isfinite(leaf))
+
+
+@pytest.mark.slow
+def test_resume_from_checkpoint(run_env, monkeypatch):
+    monkeypatch.chdir(run_env)
+    from count_pipnet_tpu.train.trainer import run_pipnet
+
+    args = make_args(run_env, resume_training=True, epochs=3)
+    trainer = run_pipnet(args)
+    csv = run_env / "runs/e2e/log_epoch_overview.csv"
+    assert csv.exists()

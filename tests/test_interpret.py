@@ -1,0 +1,192 @@
+"""Interpretability: latent->pixel coordinate parity, projection scoring,
+saliency methods on a tiny model."""
+
+import os
+import random
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from count_pipnet_tpu.interpret.vis_pipnet import get_img_coordinates
+from count_pipnet_tpu.utils.func import get_patch_size
+
+
+class TestGetImgCoordinates:
+    """Values mirror the reference implementation
+    (util/vis_pipnet.py:1162-1193)."""
+
+    def test_generic_interior(self):
+        # image 192, latent 22 -> patch 32, skip = round(160/21) = 8
+        patchsize, skip = get_patch_size(192, 22)
+        assert (patchsize, skip) == (32, 8)
+        h0, h1, w0, w1 = get_img_coordinates(192, (16, 22, 22), patchsize,
+                                             skip, 5, 7)
+        assert (h0, h1) == (40, 72)
+        assert (w0, w1) == (56, 88)
+
+    def test_generic_edges_clamped(self):
+        patchsize, skip = get_patch_size(192, 22)
+        h0, h1, w0, w1 = get_img_coordinates(192, (16, 22, 22), patchsize,
+                                             skip, 21, 0)
+        assert h1 == 192 and h0 == 160  # pinned to image edge
+        assert w0 == 0 and w1 == 32
+
+    def test_26x26_special_case(self):
+        patchsize, skip = get_patch_size(224, 26)
+        assert (patchsize, skip) == (32, 8)
+        # interior: h_coor_min = (h-1)*skip + 4
+        h0, h1, w0, w1 = get_img_coordinates(224, (0, 26, 26), patchsize,
+                                             skip, 10, 10)
+        assert (h0, h1) == (76, 108)
+        assert (w0, w1) == (76, 108)
+        # first index clamps to 0
+        h0, h1, _, _ = get_img_coordinates(224, (0, 26, 26), patchsize,
+                                           skip, 0, 5)
+        assert h0 == 0 and h1 == 32
+        # last index: the -4 shift then pinned to image edge
+        h0, h1, _, _ = get_img_coordinates(224, (0, 26, 26), patchsize,
+                                           skip, 25, 5)
+        assert h1 == 224 and h0 == 192
+
+
+class TinyTrainer:
+    """Minimal trainer-like wrapper for the interpret APIs."""
+
+    def __init__(self):
+        from count_pipnet_tpu.models import get_count_network
+
+        class Args:
+            net = "convnext_tiny_26"
+            num_features = 4
+            use_mid_layers = True
+            num_stages = 1
+            bias = False
+            activation = "softmax"
+            intermediate_layer = "onehot"
+            positive_grad_strategy = None
+            backward_clamp_strategy = "Identity"
+            disable_pretrained = True
+
+        self.model, _ = get_count_network(3, Args, max_count=3,
+                                          use_ste=True)
+        x = jnp.zeros((1, 32, 32, 3))
+        self.params = self.model.init(
+            {"params": jax.random.PRNGKey(0)}, x)["params"]
+        self.batch_stats = {}
+        self.tau = 1.0
+
+
+@pytest.fixture(scope="module")
+def tiny_setup(tmp_path_factory):
+    from count_pipnet_tpu.data.generate_shapes import \
+        GeometricShapesGenerator
+    from count_pipnet_tpu.data import augment as A
+    from count_pipnet_tpu.data.datasets import ImageFolder, \
+        TransformedDataset
+    from count_pipnet_tpu.data.loader import DataLoader
+
+    root = tmp_path_factory.mktemp("interp")
+    gen = GeometricShapesGenerator({
+        "output_dir": str(root / "ds"), "img_size": 32,
+        "train_samples_per_class": 3, "test_samples_per_class": 0,
+        "seed": 0, "size_mean": 8, "size_std": 1,
+        "min_object_size": 6, "max_object_size": 10,
+        "class_definitions": [("circle", 1), ("triangle", 2),
+                              ("hexagon", 3)],
+    })
+    gen.generate_dataset()
+    t = A.Compose([A.Resize(32), A.ToArray(), A.Normalize()])
+    ds = TransformedDataset(ImageFolder(root / "ds/train"), t)
+    loader = DataLoader(ds, 1, shuffle=False, drop_last=False,
+                        num_workers=1, seed=0)
+    return TinyTrainer(), loader, root
+
+
+class TestProjectionScoring:
+    def test_score_projection_set(self, tiny_setup):
+        from count_pipnet_tpu.interpret.vis_pipnet import \
+            score_projection_set
+        trainer, loader, _ = tiny_setup
+        stats = score_projection_set(trainer.model, trainer.params,
+                                     trainer.batch_stats, loader, batch=4)
+        assert stats["pooled"].shape == (9, 4)
+        assert stats["ys"].shape == (9,)
+        assert stats["h_idx"].max() < 8 and stats["h_idx"].min() >= 0
+
+    def test_vizualize_network_renders(self, tiny_setup):
+        from count_pipnet_tpu.interpret.vis_pipnet import vizualize_network
+        trainer, loader, root = tiny_setup
+
+        class VArgs:
+            log_dir = str(root / "run")
+            image_size = 32
+            wshape = 8
+
+        topks = vizualize_network(
+            trainer, loader, 3, "vis", VArgs, k=3,
+            are_pretraining_prototypes=True, plot_histograms=False,
+            visualize_prototype_maps=False)
+        assert len(topks) == 4  # all prototypes during pretraining
+        out_dir = root / "run/vis"
+        assert out_dir.exists()
+        assert any(f.name.startswith("grid_topk")
+                   for f in out_dir.iterdir())
+
+
+class TestSaliency:
+    def _model_fn(self):
+        # simple differentiable scorer: weighted pixel sum per class
+        w = jnp.asarray(np.random.default_rng(0).normal(size=(12, 12, 3, 2))
+                        .astype(np.float32))
+
+        def fn(xs):
+            return jnp.einsum("bhwc,hwck->bk", xs, w)
+
+        return fn
+
+    def test_ig_completeness(self):
+        """IG should approximately satisfy: sum(attr) ~ f(x) - f(baseline)
+        for a linear model (exact for linear)."""
+        from count_pipnet_tpu.interpret.saliency import IG
+        fn = self._model_fn()
+        x = np.random.default_rng(1).normal(size=(1, 12, 12, 3)) \
+            .astype(np.float32)
+        attr = IG(x, fn, steps=32, batch_size=16, alpha_star=1.0,
+                  baseline=0.0, target_class=0)
+        fx = float(fn(jnp.asarray(x))[0, 0])
+        f0 = float(fn(jnp.zeros_like(jnp.asarray(x)))[0, 0])
+        assert float(attr.sum()) == pytest.approx(fx - f0, rel=1e-3)
+
+    def test_idg_runs_and_is_finite(self):
+        from count_pipnet_tpu.interpret.saliency import IDG
+        fn = self._model_fn()
+        x = np.random.default_rng(2).normal(size=(1, 12, 12, 3)) \
+            .astype(np.float32)
+        attr = IDG(x, fn, steps=32, batch_size=16, baseline=0.0,
+                   target_class=1)
+        assert attr.shape == (12, 12, 3)
+        assert np.all(np.isfinite(attr))
+
+    def test_guided_ig_linear_model(self):
+        from count_pipnet_tpu.interpret.saliency import guided_ig
+        fn = self._model_fn()
+        x = np.random.default_rng(3).normal(size=(1, 12, 12, 3)) \
+            .astype(np.float32)
+        attr = guided_ig(x, fn, steps=16, target_class=0)
+        fx = float(fn(jnp.asarray(x))[0, 0])
+        f0 = float(fn(jnp.zeros_like(jnp.asarray(x)))[0, 0])
+        # completeness holds for guided IG on linear models too
+        assert float(attr.sum()) == pytest.approx(fx - f0, rel=5e-2)
+
+    def test_visualizers(self):
+        from count_pipnet_tpu.interpret.saliency import (
+            visualize_grayscale, visualize_diverging,
+        )
+        attr = np.random.default_rng(4).normal(size=(8, 8, 3)) \
+            .astype(np.float32)
+        g = visualize_grayscale(attr)
+        assert g.shape == (8, 8) and g.min() >= 0 and g.max() <= 1
+        d = visualize_diverging(attr)
+        assert d.min() >= -1 and d.max() <= 1

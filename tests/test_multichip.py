@@ -1,0 +1,108 @@
+"""Multi-chip sharding: mesh utilities and the full sharded train step on
+the 8-device virtual CPU mesh (what the driver's dryrun exercises)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from count_pipnet_tpu.parallel.mesh import (
+    make_mesh, batch_sharding, replicated_sharding, shard_batch, replicate,
+)
+
+
+class TestMesh:
+    def test_eight_virtual_devices(self):
+        assert len(jax.devices()) == 8
+
+    def test_batch_sharded_across_devices(self):
+        mesh = make_mesh(8)
+        x = np.arange(16 * 4, dtype=np.float32).reshape(16, 4)
+        (sx,) = shard_batch(mesh, (x,))
+        assert sx.sharding.num_devices == 8
+        np.testing.assert_allclose(np.asarray(sx), x)
+
+    def test_replicated_params(self):
+        mesh = make_mesh(8)
+        p = {"w": np.ones((4, 4), np.float32)}
+        rp = replicate(mesh, p)
+        assert rp["w"].sharding.is_fully_replicated
+
+    def test_mesh_subset(self):
+        mesh = make_mesh(4)
+        assert mesh.devices.size == 4
+
+    def test_too_many_devices_raises(self):
+        with pytest.raises(ValueError):
+            make_mesh(64)
+
+
+class TestDryrun:
+    def test_graft_dryrun_multichip(self):
+        import sys, os
+        sys.path.insert(0, os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))))
+        from __graft_entry__ import dryrun_multichip
+        dryrun_multichip(8)
+
+    def test_sharded_step_matches_single_device(self):
+        """Data-parallel gradient math: an 8-way sharded train step must
+        produce the same params as the same step on one device."""
+        from count_pipnet_tpu.models import get_count_network
+        from count_pipnet_tpu.train.optim import label_params, adamw_init
+        from count_pipnet_tpu.train.steps import make_train_step
+
+        class Args:
+            net = "convnext_tiny_26"
+            num_features = 4
+            use_mid_layers = True
+            num_stages = 1
+            bias = False
+            activation = "softmax"  # deterministic: no per-device RNG
+            intermediate_layer = "onehot"
+            positive_grad_strategy = None
+            backward_clamp_strategy = "Identity"
+            disable_pretrained = True
+
+        model, _ = get_count_network(2, Args, max_count=3, use_ste=True)
+        batch = 8
+        img = 32
+        x0 = jnp.zeros((batch, img, img, 3), jnp.float32)
+        variables = model.init({"params": jax.random.PRNGKey(0)}, x0)
+        labels = label_params(variables["params"], Args.net,
+                              use_mid_layers=True, num_stages=1)
+        step = make_train_step(model, labels, is_count_pipnet=True,
+                               enforce_weight_sparsity=True,
+                               tanh_loss_coeff=0.1, donate=False)
+
+        rng = np.random.default_rng(0)
+        xs1 = rng.normal(size=(batch, img, img, 3)).astype(np.float32)
+        xs2 = rng.normal(size=(batch, img, img, 3)).astype(np.float32)
+        ys = (np.arange(batch) % 2).astype(np.int32)
+        lr = {k: jnp.float32(1e-2) for k in
+              ("backbone", "to_freeze", "to_train", "add_on", "cls_weight",
+               "cls_bias", "intermediate")}
+        mask = {k: jnp.float32(1.0) for k in lr}
+        sched = {"lr": lr, "mask": mask, "align_w": jnp.float32(1.0),
+                 "tanh_w": jnp.float32(1.0), "class_w": jnp.float32(1.0),
+                 "pretrain": jnp.float32(0.0), "finetune": jnp.float32(0.0),
+                 "tau": jnp.float32(1.0), "project": jnp.float32(1.0)}
+        key = jax.random.PRNGKey(5)
+
+        # single device
+        p1, _, o1, m1 = step(variables["params"], {},
+                             adamw_init(variables["params"]),
+                             (xs1, xs2, ys), key, sched)
+
+        # 8-way mesh
+        mesh = make_mesh(8)
+        params8 = replicate(mesh, variables["params"])
+        opt8 = replicate(mesh, adamw_init(variables["params"]))
+        batch8 = shard_batch(mesh, (xs1, xs2, ys))
+        p8, _, o8, m8 = step(params8, {}, opt8, batch8, key, sched)
+
+        np.testing.assert_allclose(float(m1["loss"]), float(m8["loss"]),
+                                   rtol=1e-4)
+        w1 = np.asarray(p1["classification"]["weight"])
+        w8 = np.asarray(p8["classification"]["weight"])
+        np.testing.assert_allclose(w1, w8, rtol=1e-4, atol=1e-5)
