@@ -352,6 +352,42 @@ def vizualize_network(trainer, projectloader, num_classes, foldername, args,
     return topks
 
 
+def visualize_all_patches(trainer, projectloader, foldername, args,
+                          threshold=0.5):
+    """Legacy full-patch dump: every image patch whose prototype activation
+    exceeds ``threshold``, one directory per prototype
+    (reference vis_pipnet.py:1046-1159 ``visualize``)."""
+    model = trainer.model
+    params = jax.device_get(trainer.params)
+    batch_stats = jax.device_get(trainer.batch_stats) \
+        if getattr(trainer, "batch_stats", None) else {}
+    stats = score_projection_set(model, params, batch_stats, projectloader,
+                                 tau=getattr(trainer, "tau", 1.0))
+    paths = _dataset_paths(projectloader)
+    out_dir = os.path.join(args.log_dir, foldername)
+    img_size = args.image_size
+    wshape = getattr(args, "wshape", int(stats["w_idx"].max()) + 1)
+    patchsize, skip = get_patch_size(img_size, wshape)
+    shape = (model.num_prototypes, wshape, wshape)
+
+    n = stats["pooled"].shape[0]
+    for p in range(model.num_prototypes):
+        hits = np.where(stats["pooled"][:, p] > threshold)[0]
+        if hits.size == 0:
+            continue
+        pdir = os.path.join(out_dir, f"prototype_{p}")
+        os.makedirs(pdir, exist_ok=True)
+        for i in hits:
+            h0, h1, w0, w1 = get_img_coordinates(
+                img_size, shape, patchsize, skip,
+                int(stats["h_idx"][i, p]), int(stats["w_idx"][i, p]))
+            img = _load_resized(paths[int(i)], img_size)
+            score = float(stats["pooled"][i, p])
+            img.crop((w0, h0, w1, h1)).save(os.path.join(
+                pdir, f"img{int(i)}_sim{score:.3f}.png"))
+    print(f"Full patch dump written to {out_dir}", flush=True)
+
+
 def _render_prototype_maps(model, params, batch_stats, tau, topks, paths,
                            stats, out_dir, img_size, max_maps):
     """Heatmap overlays of prototype feature maps for the top images

@@ -9,6 +9,9 @@ from .convnext import (
 from .resnet import ResNetFeatures, convert_torch_resnet
 from .heads import NonNegLinear, AddOn
 from .intermediates import make_intermediate
+from .virtual_weights import (
+    estimate_mean_intermediate_features, calculate_virtual_weights,
+)
 
 __all__ = [
     "PIPNet", "CountPIPNet", "get_pipnet", "get_count_network",
@@ -17,4 +20,5 @@ __all__ = [
     "convnext_tiny_13_features", "convert_torchvision_convnext",
     "ResNetFeatures", "convert_torch_resnet",
     "NonNegLinear", "AddOn", "make_intermediate",
+    "estimate_mean_intermediate_features", "calculate_virtual_weights",
 ]

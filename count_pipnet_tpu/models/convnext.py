@@ -197,6 +197,38 @@ def convnext_tiny_13_features(num_stages: int = 7, dtype=jnp.float32,
     )
 
 
+def get_feature_dimensions(use_mid_layers=False, num_stages=2,
+                           input_size=224, stride_threshold=100):
+    """Expected backbone output shape (NHWC) for a configuration without
+    building parameters — closed-form spatial math (the reference runs a
+    dummy forward, convnext_features.py:97-108).
+
+    Spatial rule per feature index: stem /4; each downsample with
+    in_channels <= threshold halves via floor((s-2)/2)+1; stride-1
+    downsamples shrink by 1 (2x2 VALID conv).
+    """
+    model = ConvNeXtFeatures(
+        stride_threshold=stride_threshold,
+        num_stages=num_stages if use_mid_layers else 7)
+    s = input_size // 4  # stem k4 s4 VALID
+    dims = [96, 192, 384, 768]
+    feat_idx = 1
+    for k in range(4):
+        if k > 0:
+            if feat_idx > model.num_stages:
+                break
+            in_ch = dims[k - 1]
+            if in_ch > stride_threshold:
+                s = s - 1           # k2 s1 VALID
+            else:
+                s = (s - 2) // 2 + 1  # k2 s2 VALID
+            feat_idx += 1
+        if feat_idx > model.num_stages:
+            break
+        feat_idx += 1
+    return (1, s, s, model.out_channels)
+
+
 # ---------------------------------------------------------------------------
 # torchvision -> flax weight conversion
 # ---------------------------------------------------------------------------

@@ -12,7 +12,19 @@ the reference's permute+flatten (train.py:173-174).
 import jax
 import jax.numpy as jnp
 
-__all__ = ["align_loss", "tanh_loss", "class_loss", "calculate_loss"]
+__all__ = ["align_loss", "tanh_loss", "class_loss", "calculate_loss",
+           "uniform_loss"]
+
+
+def uniform_loss(x, t=2.0, eps=1e-10):
+    """Hypersphere uniformity regularizer — present but unused in the
+    reference (train.py:253-256), kept for capability parity:
+    log(mean(exp(-t * pdist(x)^2)) + eps)."""
+    sq = jnp.sum(x * x, axis=1)
+    d2 = sq[:, None] + sq[None, :] - 2.0 * (x @ x.T)
+    n = x.shape[0]
+    iu = jnp.triu_indices(n, k=1)
+    return jnp.log(jnp.mean(jnp.exp(-t * d2[iu])) + eps)
 
 
 def align_loss(inputs, targets, eps=1e-12):

@@ -463,6 +463,11 @@ def run_pipnet(args):
     epochs_to_finetune = args.epochs_finetune
     freeze_epochs = args.freeze_epochs + epochs_to_finetune  # main.py:326
 
+    # First-class step tracing (SURVEY.md §5: the reference has no
+    # profiling; tqdm postfixes were its only instrumentation).
+    profile_dir = getattr(args, "profile_dir", "")
+    profiled = False
+
     lrs_net, lrs_class = [], []
     eval_rng = jax.random.PRNGKey(args.seed + 7)
     for epoch in range(start_epoch, args.epochs + 1):
@@ -474,10 +479,18 @@ def run_pipnet(args):
                 and args.epochs > 1):
             trainer.zero_small_weights()
 
+        if profile_dir and not profiled:
+            import jax.profiler
+            jax.profiler.start_trace(profile_dir)
         info = trainer.train_epoch(
             trainloader, epoch, args.epochs, pretrain=False,
             finetune=finetune, masks=masks, net_sched=net_sched,
             cls_sched=cls_sched)
+        if profile_dir and not profiled:
+            import jax.profiler
+            jax.profiler.stop_trace()
+            profiled = True
+            print(f"Profiler trace written to {profile_dir}", flush=True)
         lrs_net += info["lrs_net"]
         lrs_class += info["lrs_class"]
 
