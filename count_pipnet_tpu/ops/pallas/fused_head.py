@@ -8,17 +8,18 @@ The Count-PIPNet inference head is
 (reference pipnet/count_pipnet.py:82-88). Executed naively this
 materializes the [B, H, W, P] prototype maps in HBM — at B=256, 26x26
 latents and P=768 that is ~0.5 GB of pure bandwidth per step that the
-classification path never needs. This kernel keeps each patch tile's
-logits in VMEM: one MXU matmul per (batch, HW-tile) grid step, softmax in
-registers, accumulate counts into the [B, P] output block.
+classification path never needs. This kernel keeps each tile's logits in
+VMEM: one MXU matmul per (batch-tile, HW-tile) grid step, softmax in
+registers, counts accumulated into the [BATCH_TILE, P] output block.
 
-Layout: the HW axis is tiled at TILE_HW=256 (a multiple of the 8-lane
-sublane for fp32) and C/P stay full-width (multiples of 128 for ConvNeXt's
-768 channels). Remainder patches are masked.
+Tiling (TPU constraints: last-two block dims divisible by (8, 128)):
+grid = (B / BATCH_TILE, HW / TILE_HW); x block [BATCH_TILE, TILE_HW, C];
+out block [BATCH_TILE, P] revisited across the HW-tile dimension.
+Remainder patches are masked; batch is padded to BATCH_TILE.
 
-Used by the serving fast path (CountPIPNet.apply(..., counts_only=True))
-with softmax activation; the Gumbel-noise training path keeps the XLA
-implementation (it needs the full proto maps for the align loss anyway).
+Used by the serving fast path (models/serving.py) with softmax activation;
+the Gumbel-noise training path keeps the XLA implementation (it needs the
+full proto maps for the align loss anyway).
 """
 
 import functools
@@ -30,20 +31,25 @@ from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["fused_count_head", "fused_count_head_reference"]
 
-TILE_HW = 256
+TILE_HW = 128
+BATCH_TILE = 8
 
 
-def _kernel(x_ref, w_ref, b_ref, out_ref, *, n_patches, tile_hw):
-    """Grid = (B, num_tiles). x block: [tile_hw, C]; w: [C, P]; b: [1, P];
-    out block: [1, P] accumulated across the tile dimension."""
+def _kernel(x_ref, w_ref, b_ref, out_ref, *, n_patches, tile_hw,
+            batch_tile):
+    """Grid = (num_batch_tiles, num_hw_tiles).
+    x block: [batch_tile, tile_hw, C]; w: [C, P]; b: [1, P];
+    out block: [batch_tile, P] accumulated across the hw-tile dim."""
     t = pl.program_id(1)
 
     @pl.when(t == 0)
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    logits = jnp.dot(x_ref[0], w_ref[:],
-                     preferred_element_type=jnp.float32)
+    bt, th, c = x_ref.shape
+    p = w_ref.shape[1]
+    x = x_ref[:].reshape(bt * th, c)
+    logits = jnp.dot(x, w_ref[:], preferred_element_type=jnp.float32)
     logits = logits + b_ref[:]
 
     # softmax over prototypes per patch (fp32 in VMEM)
@@ -51,15 +57,17 @@ def _kernel(x_ref, w_ref, b_ref, out_ref, *, n_patches, tile_hw):
     e = jnp.exp(logits - m)
     probs = e / jnp.sum(e, axis=1, keepdims=True)
 
-    # mask remainder rows of the last tile
-    row = jax.lax.broadcasted_iota(jnp.int32, probs.shape, 0)
-    valid = (row + t * tile_hw) < n_patches
+    # mask remainder patches of the last hw tile
+    patch_idx = jax.lax.broadcasted_iota(jnp.int32, (bt * th, p), 0) % th
+    valid = (patch_idx + t * tile_hw) < n_patches
     probs = jnp.where(valid, probs, 0.0)
 
-    out_ref[:] = out_ref[:] + jnp.sum(probs, axis=0, keepdims=True)
+    out_ref[:] = out_ref[:] + jnp.sum(
+        probs.reshape(bt, th, p), axis=1)
 
 
 def fused_count_head(features, w, b, *, tile_hw: int = TILE_HW,
+                     batch_tile: int = BATCH_TILE,
                      interpret: bool = False):
     """Counts [B, P] from backbone features without materializing proto
     maps.
@@ -78,17 +86,20 @@ def fused_count_head(features, w, b, *, tile_hw: int = TILE_HW,
     x = features.reshape(btch, n_patches, c)
 
     num_tiles = pl.cdiv(n_patches, tile_hw)
-    pad = num_tiles * tile_hw - n_patches
-    if pad:
-        x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
+    pad_hw = num_tiles * tile_hw - n_patches
+    num_btiles = pl.cdiv(btch, batch_tile)
+    pad_b = num_btiles * batch_tile - btch
+    if pad_hw or pad_b:
+        x = jnp.pad(x, ((0, pad_b), (0, pad_hw), (0, 0)))
 
     kernel = functools.partial(_kernel, n_patches=n_patches,
-                               tile_hw=tile_hw)
+                               tile_hw=tile_hw, batch_tile=batch_tile)
     out = pl.pallas_call(
         kernel,
-        grid=(btch, num_tiles),
+        grid=(num_btiles, num_tiles),
         in_specs=[
-            pl.BlockSpec((1, tile_hw, c), lambda bi, t: (bi, t, 0),
+            pl.BlockSpec((batch_tile, tile_hw, c),
+                         lambda bi, t: (bi, t, 0),
                          memory_space=pltpu.ANY
                          if interpret else pltpu.VMEM),
             pl.BlockSpec((c, p), lambda bi, t: (0, 0),
@@ -98,14 +109,15 @@ def fused_count_head(features, w, b, *, tile_hw: int = TILE_HW,
                          memory_space=pltpu.ANY
                          if interpret else pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, p), lambda bi, t: (bi, 0),
+        out_specs=pl.BlockSpec((batch_tile, p), lambda bi, t: (bi, 0),
                                memory_space=pltpu.ANY
                                if interpret else pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((btch, p), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((num_btiles * batch_tile, p),
+                                       jnp.float32),
         interpret=interpret,
     )(x.astype(jnp.float32), w.astype(jnp.float32),
       b.astype(jnp.float32).reshape(1, p))
-    return out
+    return out[:btch]
 
 
 def fused_count_head_reference(features, w, b):
