@@ -1,0 +1,143 @@
+"""Int8 quantized ConvNeXt serving path.
+
+The inference FLOPs live almost entirely in the block pointwise layers
+(pw1/pw2 expand/project GEMMs — stage 3/4 alone are ~34 of the ~37
+GFLOPs/img of the stride-surgery ConvNeXt-Tiny). The TPU MXU runs int8 at
+2x the bf16 rate, so for serving we quantize exactly those GEMMs:
+
+* weights: symmetric per-output-channel int8 (static, quantized once from
+  the trained fp32 params);
+* activations: symmetric per-row (per-patch) dynamic int8, computed on the
+  fly from the bf16 tensor;
+* accumulation in int32, dequantized with the product of both scales;
+* everything else (stem, depthwise 7x7, LayerNorm, GELU, layer-scale,
+  residuals) stays bf16 — negligible FLOPs, precision-sensitive.
+
+This is a deployment-only path: training and the parity forward use the
+flax module (models/convnext.py). No reference counterpart exists
+(SURVEY.md §7 lists the int8/bf16 inference path as rebuild perf work).
+"""
+
+from functools import partial
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+
+from .convnext import CONVNEXT_TINY_STAGES
+
+__all__ = ["quantize_convnext_params", "quant_convnext_apply",
+           "int8_rowwise_matmul"]
+
+
+def _quantize_weight(kernel):
+    """[in, out] fp32 -> (int8 [in, out], f32 scale [out])."""
+    amax = jnp.max(jnp.abs(kernel), axis=0)
+    scale = jnp.where(amax > 0, amax / 127.0, 1.0)
+    q = jnp.clip(jnp.round(kernel / scale), -127, 127).astype(jnp.int8)
+    return q, scale.astype(jnp.float32)
+
+
+def int8_rowwise_matmul(x, wq, wscale):
+    """Dynamic per-row int8 x static per-channel int8 -> fp32.
+
+    x: [..., K] float; wq: [K, N] int8; wscale: [N].
+    """
+    amax = jnp.max(jnp.abs(x), axis=-1, keepdims=True).astype(jnp.float32)
+    ascale = jnp.where(amax > 0, amax / 127.0, 1.0)
+    xq = jnp.clip(jnp.round(x.astype(jnp.float32) / ascale),
+                  -127, 127).astype(jnp.int8)
+    acc = jax.lax.dot_general(
+        xq, wq, (((xq.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    return acc.astype(jnp.float32) * ascale * wscale
+
+
+def quantize_convnext_params(params: Dict) -> Dict:
+    """Quantize every block's pw1/pw2 Dense kernels in a ConvNeXtFeatures
+    param tree. Returns a new tree where each quantized layer holds
+    {"q": int8 kernel, "scale": per-out-channel f32, "bias": f32}; all
+    other leaves pass through unchanged."""
+    out = {}
+    for scope, sub in params.items():
+        if "_block_" in scope:
+            new_sub = dict(sub)
+            for name in ("pw1", "pw2"):
+                k = sub[name]["kernel"]
+                q, scale = _quantize_weight(jnp.asarray(k, jnp.float32))
+                new_sub[name] = {"q": q, "scale": scale,
+                                 "bias": sub[name]["bias"]}
+            out[scope] = new_sub
+        else:
+            out[scope] = sub
+    return out
+
+
+def _layer_norm(x, scale, bias, eps=1e-6):
+    x32 = x.astype(jnp.float32)
+    mu = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mu), axis=-1, keepdims=True)
+    y = (x32 - mu) * jax.lax.rsqrt(var + eps)
+    return (y * scale + bias)
+
+
+def _conv(x, kernel, bias, stride, dtype):
+    y = jax.lax.conv_general_dilated(
+        x.astype(dtype), kernel.astype(dtype),
+        window_strides=(stride, stride), padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    return y + bias.astype(dtype)
+
+
+def _dwconv7(x, kernel, bias, dtype):
+    c = x.shape[-1]
+    y = jax.lax.conv_general_dilated(
+        x.astype(dtype), kernel.astype(dtype), window_strides=(1, 1),
+        padding=((3, 3), (3, 3)), feature_group_count=c,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    return y + bias.astype(dtype)
+
+
+def quant_convnext_apply(qparams: Dict, x, *, stride_threshold: int = 100,
+                         num_stages: int = 7,
+                         stage_settings=CONVNEXT_TINY_STAGES,
+                         dtype=jnp.bfloat16):
+    """Forward through the quantized ConvNeXt (mirrors
+    ConvNeXtFeatures.__call__, models/convnext.py)."""
+    stem = qparams["features_0"]
+    h = _conv(x, stem["conv"]["kernel"], stem["conv"]["bias"], 4, dtype)
+    h = _layer_norm(h, stem["norm"]["scale"], stem["norm"]["bias"]) \
+        .astype(dtype)
+
+    feat_idx = 1
+    for k, (dim, n_blocks) in enumerate(stage_settings):
+        if k > 0:
+            if feat_idx > num_stages:
+                break
+            ds = qparams[f"features_{feat_idx}"]
+            in_ch = stage_settings[k - 1][0]
+            stride = 1 if in_ch > stride_threshold else 2
+            hn = _layer_norm(h, ds["norm"]["scale"], ds["norm"]["bias"]) \
+                .astype(dtype)
+            h = _conv(hn, ds["conv"]["kernel"], ds["conv"]["bias"], stride,
+                      dtype)
+            feat_idx += 1
+        if feat_idx > num_stages:
+            break
+        for j in range(n_blocks):
+            blk = qparams[f"features_{feat_idx}_block_{j}"]
+            r = h
+            y = _dwconv7(h, blk["dwconv"]["kernel"], blk["dwconv"]["bias"],
+                         dtype)
+            y = _layer_norm(y, blk["norm"]["scale"], blk["norm"]["bias"])
+            y = int8_rowwise_matmul(y, blk["pw1"]["q"],
+                                    blk["pw1"]["scale"])
+            y = y + blk["pw1"]["bias"]
+            y = jax.nn.gelu(y, approximate=False)
+            y = int8_rowwise_matmul(y, blk["pw2"]["q"],
+                                    blk["pw2"]["scale"])
+            y = y + blk["pw2"]["bias"]
+            y = y * blk["layer_scale"]
+            h = r + y.astype(dtype)
+        feat_idx += 1
+    return h

@@ -29,8 +29,15 @@ __all__ = ["make_serving_fn"]
 
 
 def make_serving_fn(model: CountPIPNet, *, use_pallas: bool = True,
-                    interpret: bool = False):
+                    interpret: bool = False, quantize: bool = False):
     """Build a jittable (params, x) -> (clamped_counts, logits) function.
+
+    ``quantize=True`` runs the backbone's pointwise GEMMs in int8
+    (models/quantized.py) — 2x MXU rate; pass the ORIGINAL fp32 params,
+    quantization happens on first trace (weights fold to int8 constants
+    under jit when params are donated/static, or stay cheap per-call
+    element-wise ops otherwise; for repeated serving pre-quantize with
+    quantize_convnext_params and partial-apply).
 
     Falls back to the XLA fused reference on non-TPU backends
     (``interpret=True`` runs the Pallas kernel in interpreter mode for
@@ -46,9 +53,24 @@ def make_serving_fn(model: CountPIPNet, *, use_pallas: bool = True,
         use_ste=model.use_ste,
         positive_grad_strategy=model.positive_grad_strategy)
 
+    if quantize:
+        from .quantized import quantize_convnext_params, \
+            quant_convnext_apply
+        backbone = model.backbone
+
+        def backbone_apply(bparams, x):
+            qp = quantize_convnext_params(bparams)
+            return quant_convnext_apply(
+                qp, x, stride_threshold=backbone.stride_threshold,
+                num_stages=backbone.num_stages,
+                stage_settings=backbone.stage_settings)
+    else:
+        def backbone_apply(bparams, x):
+            return model.backbone.apply({"params": bparams}, x,
+                                        deterministic=True)
+
     def fn(params, x):
-        feats = model.backbone.apply({"params": params["backbone"]}, x,
-                                     deterministic=True)
+        feats = backbone_apply(params["backbone"], x)
         if model.num_features > 0:
             kernel = params["add_on"]["conv1x1"]["kernel"]  # [1,1,C,P]
             w = kernel.reshape(kernel.shape[-2], kernel.shape[-1])

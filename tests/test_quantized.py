@@ -1,0 +1,82 @@
+"""Int8 quantized serving backbone: numerical agreement with the bf16
+reference path."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from count_pipnet_tpu.models import get_count_network
+from count_pipnet_tpu.models.quantized import (
+    quantize_convnext_params, quant_convnext_apply, int8_rowwise_matmul,
+)
+from count_pipnet_tpu.models.serving import make_serving_fn
+
+
+class Args:
+    net = "convnext_tiny_26"
+    num_features = 8
+    use_mid_layers = True
+    num_stages = 2
+    bias = False
+    activation = "softmax"
+    intermediate_layer = "onehot"
+    positive_grad_strategy = None
+    backward_clamp_strategy = "Identity"
+    disable_pretrained = True
+
+
+@pytest.fixture(scope="module")
+def setup():
+    model, _ = get_count_network(3, Args, max_count=3, use_ste=True)
+    x = jax.random.uniform(jax.random.PRNGKey(0), (2, 32, 32, 3))
+    params = model.init({"params": jax.random.PRNGKey(1)}, x)["params"]
+    return model, params, x
+
+
+class TestInt8Matmul:
+    def test_close_to_fp32(self):
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.normal(size=(64, 96)).astype(np.float32))
+        w = jnp.asarray(rng.normal(size=(96, 192)).astype(np.float32) * 0.1)
+        from count_pipnet_tpu.models.quantized import _quantize_weight
+        q, scale = _quantize_weight(w)
+        got = int8_rowwise_matmul(x, q, scale)
+        ref = x @ w
+        rel = float(jnp.linalg.norm(got - ref) / jnp.linalg.norm(ref))
+        assert rel < 0.02  # int8 noise, well under 2%
+
+    def test_zero_input_safe(self):
+        x = jnp.zeros((4, 8))
+        w = jnp.zeros((8, 16))
+        from count_pipnet_tpu.models.quantized import _quantize_weight
+        q, scale = _quantize_weight(w)
+        got = int8_rowwise_matmul(x, q, scale)
+        assert jnp.all(got == 0) and jnp.all(jnp.isfinite(got))
+
+
+class TestQuantBackbone:
+    def test_features_close_to_flax(self, setup):
+        model, params, x = setup
+        ref = model.backbone.apply({"params": params["backbone"]}, x,
+                                   deterministic=True)
+        qp = quantize_convnext_params(params["backbone"])
+        got = quant_convnext_apply(
+            qp, x, stride_threshold=100, num_stages=2)
+        assert got.shape == ref.shape
+        rel = float(jnp.linalg.norm(got.astype(jnp.float32)
+                                    - ref.astype(jnp.float32))
+                    / jnp.linalg.norm(ref.astype(jnp.float32)))
+        assert rel < 0.05
+
+    def test_serving_quantized_counts_match(self, setup):
+        model, params, x = setup
+        serve = make_serving_fn(model, use_pallas=False)
+        serve_q = make_serving_fn(model, use_pallas=False, quantize=True)
+        counts, out = serve(params, x)
+        counts_q, out_q = serve_q(params, x)
+        # counts are rounded integers in [0, 3] — int8 noise should rarely
+        # flip a bin on random init; allow at most 20% disagreement
+        agreement = float(jnp.mean((counts == counts_q).astype(jnp.float32)))
+        assert agreement > 0.8
+        assert jnp.all(jnp.isfinite(out_q))
