@@ -48,12 +48,33 @@ def main():
     x0 = jnp.zeros((batch, image, image, 3), jnp.float32)
     params = model.init(rngs, x0)["params"]
 
-    @jax.jit
-    def infer(params, x, rng):
-        proto, counts, out = model.apply(
-            {"params": params}, x, inference=True, train=False,
-            rngs={"gumbel": rng})
-        return counts, out
+    if on_tpu:
+        # Reference-parity inference forward (gumbel-hard head, clamped
+        # counts, NonNeg classifier — count_pipnet.py:70-110 semantics)
+        # on the fused-MLP Pallas backbone (BENCH_NOTES.md).
+        from count_pipnet_tpu.models.quantized import fused_convnext_apply
+        from count_pipnet_tpu.ops.gumbel import gumbel_softmax
+        from count_pipnet_tpu.ops.ste import create_modified_encoding
+
+        @jax.jit
+        def infer(params, x, rng):
+            feats = fused_convnext_apply(params["backbone"], x,
+                                         stride_threshold=100, num_stages=7)
+            proto = gumbel_softmax(rng, feats, tau=1.0, hard=True, axis=-1)
+            counts = jnp.sum(proto.astype(jnp.float32), axis=(1, 2))
+            clamped = jnp.clip(jnp.round(counts), 0.0, 3.0)
+            enc = create_modified_encoding(clamped, 3)
+            enc = enc.reshape(enc.shape[0], -1)
+            w = params["classification"]["weight"]
+            out = enc @ jax.nn.relu(w).T
+            return clamped, out
+    else:
+        @jax.jit
+        def infer(params, x, rng):
+            proto, counts, out = model.apply(
+                {"params": params}, x, inference=True, train=False,
+                rngs={"gumbel": rng})
+            return counts, out
 
     x = jnp.asarray(np.random.default_rng(0).normal(
         size=(batch, image, image, 3)).astype(np.float32))

@@ -27,7 +27,7 @@ import jax.numpy as jnp
 from .convnext import CONVNEXT_TINY_STAGES
 
 __all__ = ["quantize_convnext_params", "quant_convnext_apply",
-           "int8_rowwise_matmul"]
+           "int8_rowwise_matmul", "fused_convnext_apply"]
 
 
 def _quantize_weight(kernel):
@@ -96,6 +96,53 @@ def _dwconv7(x, kernel, bias, dtype):
         padding=((3, 3), (3, 3)), feature_group_count=c,
         dimension_numbers=("NHWC", "HWIO", "NHWC"))
     return y + bias.astype(dtype)
+
+
+def fused_convnext_apply(params: Dict, x, *, stride_threshold: int = 100,
+                         num_stages: int = 7,
+                         stage_settings=CONVNEXT_TINY_STAGES,
+                         dtype=jnp.bfloat16, interpret: bool = False):
+    """bf16 inference forward using the fused LN->MLP->residual Pallas
+    kernel (ops/pallas/fused_mlp.py) for every block body — one HBM
+    round-trip per block instead of one per op. Takes the ORIGINAL
+    (unquantized) ConvNeXtFeatures param tree; mirrors
+    ConvNeXtFeatures.__call__."""
+    from ..ops.pallas.fused_mlp import fused_ln_mlp_residual
+
+    stem = params["features_0"]
+    h = _conv(x, stem["conv"]["kernel"], stem["conv"]["bias"], 4, dtype)
+    h = _layer_norm(h, stem["norm"]["scale"], stem["norm"]["bias"]) \
+        .astype(dtype)
+
+    feat_idx = 1
+    for k, (dim, n_blocks) in enumerate(stage_settings):
+        if k > 0:
+            if feat_idx > num_stages:
+                break
+            ds = params[f"features_{feat_idx}"]
+            in_ch = stage_settings[k - 1][0]
+            stride = 1 if in_ch > stride_threshold else 2
+            hn = _layer_norm(h, ds["norm"]["scale"], ds["norm"]["bias"]) \
+                .astype(dtype)
+            h = _conv(hn, ds["conv"]["kernel"], ds["conv"]["bias"], stride,
+                      dtype)
+            feat_idx += 1
+        if feat_idx > num_stages:
+            break
+        for j in range(n_blocks):
+            blk = params[f"features_{feat_idx}_block_{j}"]
+            # block = h + gamma * mlp(LN(dw(h))): the skip wraps the whole
+            # body, so the kernel takes dw(h) as its LN input and h as the
+            # residual source.
+            y = _dwconv7(h, blk["dwconv"]["kernel"], blk["dwconv"]["bias"],
+                         dtype)
+            h = fused_ln_mlp_residual(
+                y, h, blk["norm"]["scale"], blk["norm"]["bias"],
+                blk["pw1"]["kernel"], blk["pw1"]["bias"],
+                blk["pw2"]["kernel"], blk["pw2"]["bias"],
+                blk["layer_scale"], interpret=interpret)
+        feat_idx += 1
+    return h
 
 
 def quant_convnext_apply(qparams: Dict, x, *, stride_threshold: int = 100,

@@ -29,7 +29,8 @@ __all__ = ["make_serving_fn"]
 
 
 def make_serving_fn(model: CountPIPNet, *, use_pallas: bool = True,
-                    interpret: bool = False, quantize: bool = False):
+                    interpret: bool = False, quantize: bool = False,
+                    fused_mlp: bool = False):
     """Build a jittable (params, x) -> (clamped_counts, logits) function.
 
     ``quantize=True`` runs the backbone's pointwise GEMMs in int8
@@ -53,10 +54,10 @@ def make_serving_fn(model: CountPIPNet, *, use_pallas: bool = True,
         use_ste=model.use_ste,
         positive_grad_strategy=model.positive_grad_strategy)
 
+    backbone = model.backbone
     if quantize:
         from .quantized import quantize_convnext_params, \
             quant_convnext_apply
-        backbone = model.backbone
 
         def backbone_apply(bparams, x):
             qp = quantize_convnext_params(bparams)
@@ -64,6 +65,15 @@ def make_serving_fn(model: CountPIPNet, *, use_pallas: bool = True,
                 qp, x, stride_threshold=backbone.stride_threshold,
                 num_stages=backbone.num_stages,
                 stage_settings=backbone.stage_settings)
+    elif fused_mlp:
+        from .quantized import fused_convnext_apply
+
+        def backbone_apply(bparams, x):
+            return fused_convnext_apply(
+                bparams, x, stride_threshold=backbone.stride_threshold,
+                num_stages=backbone.num_stages,
+                stage_settings=backbone.stage_settings,
+                interpret=interpret)
     else:
         def backbone_apply(bparams, x):
             return model.backbone.apply({"params": bparams}, x,

@@ -554,5 +554,22 @@ def run_pipnet(args):
         print("Failed to load best model for prototype visualization",
               flush=True)
 
+    # The learned scoring sheet: relevant prototypes per class (the
+    # reference README documents this out.txt content; README.md:58).
+    try:
+        from .eval import class_prototype_weights
+        host_params = jax.device_get(trainer.params)
+        cpw = np.asarray(class_prototype_weights(trainer.model,
+                                                 host_params))
+        for c in range(num_classes):
+            relevant = [(p, float(cpw[c, p]))
+                        for p in range(cpw.shape[1]) if cpw[c, p] > 1e-3]
+            relevant.sort(key=lambda t: -t[1])
+            name = classes[c] if classes and c < len(classes) else c
+            print(f"Class {c} ({name}): has {len(relevant)} relevant "
+                  f"prototypes: {relevant}", flush=True)
+    except Exception as e:
+        print(f"(scoring-sheet printout skipped: {e})", flush=True)
+
     print("Done!", flush=True)
     return trainer

@@ -80,3 +80,30 @@ class TestQuantBackbone:
         agreement = float(jnp.mean((counts == counts_q).astype(jnp.float32)))
         assert agreement > 0.8
         assert jnp.all(jnp.isfinite(out_q))
+
+
+class TestFusedMLPBackbone:
+    def test_fused_matches_flax(self, setup):
+        from count_pipnet_tpu.models.quantized import fused_convnext_apply
+        model, params, x = setup
+        ref = model.backbone.apply({"params": params["backbone"]}, x,
+                                   deterministic=True)
+        got = fused_convnext_apply(params["backbone"], x,
+                                   stride_threshold=100, num_stages=2,
+                                   interpret=True)
+        rel = float(jnp.linalg.norm(got.astype(jnp.float32)
+                                    - ref.astype(jnp.float32))
+                    / jnp.linalg.norm(ref.astype(jnp.float32)))
+        assert rel < 0.01
+
+    def test_serving_fused_mlp_counts_match(self, setup):
+        model, params, x = setup
+        serve = make_serving_fn(model, use_pallas=False)
+        serve_f = make_serving_fn(model, use_pallas=False, fused_mlp=True,
+                                  interpret=True)
+        counts, _ = serve(params, x)
+        counts_f, out_f = serve_f(params, x)
+        agreement = float(jnp.mean((counts == counts_f)
+                                   .astype(jnp.float32)))
+        assert agreement > 0.95
+        assert jnp.all(jnp.isfinite(out_f))
