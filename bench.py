@@ -51,23 +51,30 @@ def main():
     if on_tpu:
         # Reference-parity inference forward (gumbel-hard head, clamped
         # counts, NonNeg classifier — count_pipnet.py:70-110 semantics)
-        # on the fused-MLP Pallas backbone (BENCH_NOTES.md).
+        # on the fused-MLP Pallas backbone with the on-core-PRNG
+        # gumbel-histogram head (BENCH_NOTES.md).
         from count_pipnet_tpu.models.quantized import fused_convnext_apply
-        from count_pipnet_tpu.ops.gumbel import gumbel_softmax
+        from count_pipnet_tpu.ops.pallas.gumbel_head import \
+            gumbel_hard_counts
         from count_pipnet_tpu.ops.ste import create_modified_encoding
 
         @jax.jit
-        def infer(params, x, rng):
+        def _infer_seeded(params, x, seed):
             feats = fused_convnext_apply(params["backbone"], x,
                                          stride_threshold=100, num_stages=7)
-            proto = gumbel_softmax(rng, feats, tau=1.0, hard=True, axis=-1)
-            counts = jnp.sum(proto.astype(jnp.float32), axis=(1, 2))
+            counts = gumbel_hard_counts(feats, seed)
             clamped = jnp.clip(jnp.round(counts), 0.0, 3.0)
             enc = create_modified_encoding(clamped, 3)
             enc = enc.reshape(enc.shape[0], -1)
             w = params["classification"]["weight"]
             out = enc @ jax.nn.relu(w).T
             return clamped, out
+
+        def infer(params, x, rng):
+            # plain int seed per step (a device round-trip here would
+            # serialize the dispatch pipeline)
+            seed = rng if isinstance(rng, int) else 0
+            return _infer_seeded(params, x, seed)
     else:
         @jax.jit
         def infer(params, x, rng):
@@ -82,13 +89,14 @@ def main():
 
     # compile + warmup (fetch to host — on the remote-tunnel TPU backend,
     # block_until_ready alone does not guarantee remote completion)
-    jax.device_get(infer(params, x, rng))
-    jax.device_get(infer(params, x, rng))
+    jax.device_get(infer(params, x, 0 if on_tpu else rng))
+    jax.device_get(infer(params, x, 0 if on_tpu else rng))
 
     iters = 30 if on_tpu else 3
     t0 = time.perf_counter()
     for i in range(iters):
-        counts, out = infer(params, x, jax.random.fold_in(rng, i))
+        counts, out = infer(
+            params, x, (i + 1) if on_tpu else jax.random.fold_in(rng, i))
     out_host = jax.device_get(out)  # forces the whole chain to completion
     dt = time.perf_counter() - t0
     assert np.all(np.isfinite(out_host))

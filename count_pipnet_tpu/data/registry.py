@@ -91,6 +91,8 @@ def _cars_recipe(img_size):
 
 
 def _grayscale_recipe(img_size):
+    # (the reference hardcodes RandomResizedCrop(224+8) here regardless of
+    # img_size — util/data.py:585; fixed to track img_size)
     t1 = A.Compose([
         A.Resize(img_size + 32), A.TrivialAugmentWideNoColor(),
         A.RandomHorizontalFlip(),

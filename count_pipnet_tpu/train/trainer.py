@@ -480,15 +480,15 @@ def run_pipnet(args):
             trainer.zero_small_weights()
 
         if profile_dir and not profiled:
-            import jax.profiler
-            jax.profiler.start_trace(profile_dir)
+            from jax import profiler as _jprof
+            _jprof.start_trace(profile_dir)
         info = trainer.train_epoch(
             trainloader, epoch, args.epochs, pretrain=False,
             finetune=finetune, masks=masks, net_sched=net_sched,
             cls_sched=cls_sched)
         if profile_dir and not profiled:
-            import jax.profiler
-            jax.profiler.stop_trace()
+            from jax import profiler as _jprof
+            _jprof.stop_trace()
             profiled = True
             print(f"Profiler trace written to {profile_dir}", flush=True)
         lrs_net += info["lrs_net"]
