@@ -134,6 +134,9 @@ def fused_convnext_apply(params: Dict, x, *, stride_threshold: int = 100,
             # block = h + gamma * mlp(LN(dw(h))): the skip wraps the whole
             # body, so the kernel takes dw(h) as its LN input and h as the
             # residual source.
+            # NOTE: a Pallas whole-plane dwconv (ops/pallas/dwconv.py) was
+            # measured 2.5x SLOWER than XLA's lowering (unaligned shifted
+            # slices force relayouts); XLA keeps this op.
             y = _dwconv7(h, blk["dwconv"]["kernel"], blk["dwconv"]["bias"],
                          dtype)
             h = fused_ln_mlp_residual(

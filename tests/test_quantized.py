@@ -107,3 +107,18 @@ class TestFusedMLPBackbone:
                                    .astype(jnp.float32)))
         assert agreement > 0.95
         assert jnp.all(jnp.isfinite(out_f))
+
+
+class TestDwconvKernel:
+    def test_matches_lax_conv(self):
+        from count_pipnet_tpu.ops.pallas.dwconv import dwconv7
+        from count_pipnet_tpu.models.quantized import _dwconv7
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.normal(size=(2, 9, 9, 128)).astype(np.float32))
+        k = jnp.asarray(rng.normal(size=(7, 7, 1, 128)).astype(np.float32)
+                        * 0.1)
+        b = jnp.asarray(rng.normal(size=(128,)).astype(np.float32))
+        ref = _dwconv7(x, k, b, jnp.float32)
+        got = dwconv7(x, k, b, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-4)
