@@ -16,7 +16,7 @@ Output contract: ``to_array`` + ``Normalize`` produce float32 HWC arrays
 
 import math
 import random
-from typing import Callable, List, Optional, Sequence, Tuple
+from typing import Callable, Sequence
 
 import numpy as np
 from PIL import Image, ImageEnhance, ImageOps

@@ -13,10 +13,10 @@ contract, synthetic glyphs.
 """
 
 import argparse
-import math
+
 import os
 import random
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Optional
 
 import numpy as np
 from PIL import Image, ImageDraw, ImageFont

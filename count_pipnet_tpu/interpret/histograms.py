@@ -15,7 +15,7 @@ HTML index. Returns per-class mean activations and/or non-zero counts
 """
 
 import os
-from typing import Dict, Optional
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

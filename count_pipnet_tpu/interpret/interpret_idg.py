@@ -12,7 +12,7 @@ whole-dataset logit-attribution mode (interpret_logits_for_dataset :587).
 
 import os
 import pickle
-from typing import Callable, Dict, List, Optional
+from typing import Dict, List
 
 import jax
 import jax.numpy as jnp

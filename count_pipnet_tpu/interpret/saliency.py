@@ -17,8 +17,8 @@ JAX design: one jitted value-and-grad over a whole batch of interpolated
 images per call; hosts only orchestrate. Inputs are NHWC.
 """
 
-from functools import partial
-from typing import Callable, Optional, Union
+
+from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp

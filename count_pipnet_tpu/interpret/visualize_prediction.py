@@ -13,7 +13,7 @@ with matplotlib's jet colormap instead, always available.
 """
 
 import os
-from typing import List, Optional
+
 
 import jax
 import jax.numpy as jnp

@@ -23,7 +23,7 @@ Design notes (TPU-first, not a translation):
   util/args.py:273-279,333-402) apply to path prefixes unchanged.
 """
 
-from typing import Any, Optional, Sequence
+from typing import Any, Sequence
 
 import jax
 import jax.numpy as jnp

@@ -4,7 +4,7 @@ Reference: pipnet/pipnet.py:54-108 and pipnet/count_pipnet.py:176-224,356-381.
 """
 
 import math
-from typing import Any, Optional
+from typing import Any
 
 import jax
 import jax.numpy as jnp

@@ -11,7 +11,7 @@ interpretability, reference count_pipnet.py:126-147) — so the whole virtual
 classification matrix is one matmul on device instead of a Python loop.
 """
 
-from typing import Any, Optional
+from typing import Optional
 
 import jax.numpy as jnp
 import numpy as np

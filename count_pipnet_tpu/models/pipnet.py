@@ -16,7 +16,7 @@ Outputs are ``(proto_features, pooled, out)`` with proto_features in NHWC
 
 from typing import Any, Optional
 
-import jax
+
 import jax.numpy as jnp
 import flax.linen as nn
 

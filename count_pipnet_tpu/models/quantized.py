@@ -18,8 +18,8 @@ flax module (models/convnext.py). No reference counterpart exists
 (SURVEY.md §7 lists the int8/bf16 inference path as rebuild perf work).
 """
 
-from functools import partial
-from typing import Any, Dict
+
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

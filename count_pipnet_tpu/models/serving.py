@@ -14,7 +14,7 @@ Gumbel-hard inference is stochastic by reference design
 (count_pipnet_utils.py:34-38) and keeps the XLA path.
 """
 
-from functools import partial
+
 
 import jax
 import jax.numpy as jnp

@@ -12,13 +12,13 @@ TPU redesign: batched jitted forwards (the reference loops a DataLoader and
 concatenates on host), then a single matmul for the virtual matrix.
 """
 
-from typing import Optional, Tuple
+
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .intermediates import OneHotIntermediate
+
 from .pipnet import CountPIPNet, importance_per_class
 
 __all__ = ["estimate_mean_intermediate_features", "calculate_virtual_weights"]

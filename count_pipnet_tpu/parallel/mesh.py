@@ -10,7 +10,7 @@ ICI — no hand-written collectives. Multi-host extends this by initializing
 yields host-local batches); the sharding annotations below are unchanged.
 """
 
-from typing import Optional
+
 
 import jax
 import numpy as np

@@ -22,8 +22,8 @@ Scalar schedule keys:
       bias>=0 (train.py:132-138).
 """
 
-from functools import partial
-from typing import Any, Dict, Optional
+
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

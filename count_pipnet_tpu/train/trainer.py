@@ -28,18 +28,18 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import save_args
-from ..models.pipnet import get_pipnet, get_count_network, CountPIPNet
+from ..models.pipnet import get_pipnet, get_count_network
 from ..parallel.mesh import make_mesh, shard_batch, replicate
 from ..utils.log import Log
 from ..utils.checkpoint import (
     CheckpointManager, load_backbone_only, find_shared_backbone,
 )
-from ..data.loader import make_weighted_sample_weights
+
 from .optim import (
     label_params, adamw_init, cosine_lr, warm_restart_lr,
     NET_LABELS, CLASSIFIER_LABELS,
 )
-from .steps import make_train_step, make_eval_step, init_schedule_scalars
+from .steps import make_train_step, make_eval_step
 from .eval import evaluate
 
 __all__ = ["run_pipnet", "Trainer"]

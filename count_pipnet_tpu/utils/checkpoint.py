@@ -23,7 +23,7 @@ torch.save dicts, no orbax directory trees to rsync around).
 import hashlib
 import json
 import os
-from typing import Any, Dict, Optional
+from typing import Any, Dict
 
 import jax
 import numpy as np
