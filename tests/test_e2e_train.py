@@ -93,3 +93,25 @@ def test_resume_from_checkpoint(run_env, monkeypatch):
     trainer = run_pipnet(args)
     csv = run_env / "runs/e2e/log_epoch_overview.csv"
     assert csv.exists()
+
+
+@pytest.mark.slow
+def test_pipnet_training_run(run_env, monkeypatch):
+    """The original PIP-Net (max-pool head, softmax add-on, no
+    intermediate layer) through the same two-phase loop."""
+    monkeypatch.chdir(run_env)
+    from count_pipnet_tpu.train.trainer import run_pipnet
+
+    args = make_args(run_env, model="pipnet", activation="softmax",
+                     log_dir=str(run_env / "runs/e2e_pipnet"),
+                     num_features=8, epochs=2, epochs_pretrain=1,
+                     epochs_finetune=1)
+    trainer = run_pipnet(args)
+    assert not trainer.is_count
+
+    csv = run_env / "runs/e2e_pipnet/log_epoch_overview.csv"
+    lines = csv.read_text().strip().splitlines()
+    assert len(lines) == 1 + 1 + 2
+    # eval wrote a numeric accuracy for the main epochs
+    float(lines[-1].split(",")[1])
+    assert (run_env / "runs/e2e_pipnet/checkpoints/net_best").exists()
