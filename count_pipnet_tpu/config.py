@@ -92,6 +92,10 @@ def build_parser() -> argparse.ArgumentParser:
     add("--backward_clamp_strategy", type=str, default="Identity",
         choices=["Identity", "Gated"])
     # TPU-native additions
+    add("--device_augment", action="store_true",
+        help="run the photometric two-view augmentation (color jitter + "
+             "crop + noise + normalize) on device instead of host CPU; "
+             "supported for the synthetic shapes/mnist recipes")
     add("--dtype", type=str, default="bfloat16",
         choices=["bfloat16", "float32"], help="compute dtype")
     add("--mesh_shape", type=int, default=-1,

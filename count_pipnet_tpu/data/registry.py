@@ -196,6 +196,27 @@ def get_data(args, basepath="./"):
     t1, t1p, t2 = recipe_fn(args.image_size)
     no_aug = _no_augment(args.image_size, grayscale=grayscale)
 
+    # Device-side photometric augmentation: the two-view loaders ship the
+    # t1 crop as a raw [0,1] float array; color jitter + crop + noise +
+    # normalize run on the accelerator (data/device_augment.py). Supported
+    # for the synthetic recipes whose transform2 is purely photometric.
+    device_aug_cfg = None
+    if getattr(args, "device_augment", False):
+        synth = ("geometric_shapes", "geometric_shapes_gaussian_noise",
+                 "geometric_shapes_224_gaussian_noise", "mnist_counting")
+        if args.dataset in synth:
+            from .device_augment import DeviceAugmentConfig
+            device_aug_cfg = DeviceAugmentConfig(
+                img_size=args.image_size, brightness=0.1, contrast=0.1,
+                noise_std=(0.1 if "gaussian_noise" in args.dataset
+                           else 0.0), noise_p=0.5)
+        else:
+            print(f"(--device_augment unsupported for {args.dataset}; "
+                  "using host augmentation)", flush=True)
+    t2_host = t2
+    if device_aug_cfg is not None:
+        t2 = A.Compose([A.ToArray()])  # host stops after t1 + decode
+
     trainval = ImageFolder(base / train_d)
     classes = trainval.classes
     targets = trainval.targets
@@ -213,9 +234,10 @@ def get_data(args, basepath="./"):
         testset = TransformedDataset(ImageFolder(base / test_d), no_aug)
 
     trainset = Subset(TwoAugDataset(trainval, t1, t2), train_indices)
+    trainset.device_augment_cfg = device_aug_cfg
     trainset_normal = Subset(TransformedDataset(trainval, no_aug),
                              train_indices)
-    both = A.Compose([t1, t2])
+    both = A.Compose([t1, t2_host])
     trainset_normal_augment = Subset(TransformedDataset(trainval, both),
                                      train_indices)
     projectset = TransformedDataset(ImageFolder(base / project_d), no_aug)
@@ -235,6 +257,7 @@ def get_data(args, basepath="./"):
                 pre_base.targets, args.validation_size, args.seed)
         trainset_pretraining = Subset(
             TwoAugDataset(pre_base, t1p, t2), pre_indices)
+        trainset_pretraining.device_augment_cfg = device_aug_cfg
 
     return (trainset, trainset_pretraining, trainset_normal,
             trainset_normal_augment, projectset, testset, testset_projection,
@@ -260,10 +283,14 @@ def get_dataloaders(args, basepath="./", test_set_projection_full=False):
     trainloader = DataLoader(
         trainset, args.batch_size, shuffle=shuffle, drop_last=True,
         sample_weights=sample_weights, **common)
+    trainloader.device_augment_cfg = getattr(trainset,
+                                             "device_augment_cfg", None)
     pre_set = trainset_pretraining or trainset
     trainloader_pretraining = DataLoader(
         pre_set, args.batch_size_pretrain, shuffle=shuffle, drop_last=True,
         sample_weights=sample_weights, **common)
+    trainloader_pretraining.device_augment_cfg = getattr(
+        pre_set, "device_augment_cfg", None)
     trainloader_normal = DataLoader(
         trainset_normal, args.batch_size, shuffle=shuffle, drop_last=True,
         sample_weights=sample_weights, **common)

@@ -147,7 +147,12 @@ class Trainer:
         """One forward to record the latent grid size
         (reference main.py:211-218)."""
         batch = next(iter(loader))
-        xs1 = jnp.asarray(batch[0][:1])
+        xs1 = jnp.asarray(batch[0][:1], jnp.float32)
+        cfg = getattr(loader, "device_augment_cfg", None)
+        if cfg is not None:
+            from ..data.device_augment import make_device_twoview_augment
+            xs1, _ = make_device_twoview_augment(cfg)(
+                jax.random.PRNGKey(0), xs1)
         self.rng, gk = jax.random.split(self.rng)
         proto, _, _ = self.model.apply(
             {"params": self.params, **self._mstate()}, xs1,
@@ -205,6 +210,20 @@ class Trainer:
               "Class weight:", cl_w, flush=True)
         print("Pretrain?", pretrain, "Finetune?", finetune, flush=True)
 
+        # Device-side photometric augmentation (data/device_augment.py):
+        # the loader ships t1 crops; both views are produced on-device.
+        dev_aug_cfg = getattr(loader, "device_augment_cfg", None)
+        dev_aug = None
+        if dev_aug_cfg is not None:
+            if not hasattr(self, "_dev_aug_fns"):
+                self._dev_aug_fns = {}
+            if dev_aug_cfg not in self._dev_aug_fns:
+                from ..data.device_augment import \
+                    make_device_twoview_augment
+                self._dev_aug_fns[dev_aug_cfg] = \
+                    make_device_twoview_augment(dev_aug_cfg)
+            dev_aug = self._dev_aug_fns[dev_aug_cfg]
+
         loader.set_epoch(epoch)
         iters = len(loader)
         totals = {k: 0.0 for k in
@@ -250,9 +269,18 @@ class Trainer:
                 "project": jnp.float32(0.0 if pretrain else 1.0),
             }
 
-            batch = shard_batch(self.mesh, (
-                np.asarray(xs1, np.float32), np.asarray(xs2, np.float32),
-                np.asarray(ys, np.int32)))
+            if dev_aug is not None:
+                raw, ys_s = shard_batch(self.mesh, (
+                    np.asarray(xs1, np.float32),
+                    np.asarray(ys, np.int32)))
+                self.rng, akey = jax.random.split(self.rng)
+                v1, v2 = dev_aug(akey, raw)
+                batch = (v1, v2, ys_s)
+            else:
+                batch = shard_batch(self.mesh, (
+                    np.asarray(xs1, np.float32),
+                    np.asarray(xs2, np.float32),
+                    np.asarray(ys, np.int32)))
             self.rng, step_rng = jax.random.split(self.rng)
             self.params, mstate, self.opt_state, metrics = self.train_step(
                 self.params, self._mstate(), self.opt_state, batch,

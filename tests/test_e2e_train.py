@@ -115,3 +115,21 @@ def test_pipnet_training_run(run_env, monkeypatch):
     # eval wrote a numeric accuracy for the main epochs
     float(lines[-1].split(",")[1])
     assert (run_env / "runs/e2e_pipnet/checkpoints/net_best").exists()
+
+
+@pytest.mark.slow
+def test_device_augment_training_run(run_env, monkeypatch):
+    """Two-view photometric augmentation on device: loaders ship t1 crops,
+    the trainer produces both views on the accelerator."""
+    monkeypatch.chdir(run_env)
+    from count_pipnet_tpu.train.trainer import run_pipnet
+
+    args = make_args(run_env, device_augment=True,
+                     log_dir=str(run_env / "runs/e2e_devaug"),
+                     epochs=1, epochs_pretrain=1, epochs_finetune=0)
+    trainer = run_pipnet(args)
+    assert args.wshape > 0
+    csv = run_env / "runs/e2e_devaug/log_epoch_overview.csv"
+    lines = csv.read_text().strip().splitlines()
+    assert len(lines) == 3
+    float(lines[-1].split(",")[1])  # numeric eval accuracy
