@@ -96,6 +96,11 @@ def build_parser() -> argparse.ArgumentParser:
         help="run the photometric two-view augmentation (color jitter + "
              "crop + noise + normalize) on device instead of host CPU; "
              "supported for the synthetic shapes/mnist recipes")
+    add("--fused_blocks", action="store_true",
+        help="run ConvNeXt block bodies through the differentiable fused "
+             "Pallas kernel (tanh-approx GELU; Pallas forward + "
+             "remat-style backward). Same param tree as the standard "
+             "path — checkpoints interchange")
     add("--dtype", type=str, default="bfloat16",
         choices=["bfloat16", "float32"], help="compute dtype")
     add("--mesh_shape", type=int, default=-1,

@@ -43,14 +43,47 @@ CONVNEXT_TINY_STAGES = ((96, 3), (192, 3), (384, 9), (768, 3))
 trunc_normal_02 = nn.initializers.truncated_normal(stddev=0.02)
 
 
+class _LNParams(nn.Module):
+    """Parameter-only LayerNorm scope (same tree as nn.LayerNorm)."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        s = self.param("scale", nn.initializers.ones, (self.dim,))
+        b = self.param("bias", nn.initializers.zeros, (self.dim,))
+        return s, b
+
+
+class _DenseParams(nn.Module):
+    """Parameter-only Dense scope (same tree as nn.Dense)."""
+
+    in_features: int
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", trunc_normal_02,
+                       (self.in_features, self.features))
+        b = self.param("bias", nn.initializers.zeros, (self.features,))
+        return k, b
+
+
 class CNBlock(nn.Module):
     """ConvNeXt block: dw-conv7x7 -> LN -> Dense 4d -> GELU -> Dense d,
-    layer-scale, stochastic depth, residual."""
+    layer-scale, stochastic depth, residual.
+
+    With ``fused_mlp`` the LN->MLP->scale->residual body runs through the
+    differentiable Pallas kernel (ops/pallas/fused_mlp.py: Pallas forward,
+    remat-style XLA backward; tanh-approx GELU). Parameter tree is
+    identical either way, so checkpoints are interchangeable.
+    """
 
     dim: int
     sd_prob: float = 0.0
     layer_scale_init: float = 1e-6
     dtype: Any = jnp.float32
+    fused_mlp: bool = False
 
     @nn.compact
     def __call__(self, x, *, deterministic: bool = True):
@@ -58,17 +91,33 @@ class CNBlock(nn.Module):
             self.dim, (7, 7), padding=3, feature_group_count=self.dim,
             dtype=self.dtype, kernel_init=trunc_normal_02, name="dwconv",
         )(x)
+        gamma = self.param(
+            "layer_scale",
+            nn.initializers.constant(self.layer_scale_init),
+            (self.dim,),
+        )
+        if self.fused_mlp:
+            from ..ops.pallas.fused_mlp import fused_ln_mlp_residual_ad
+            ls, lb = _LNParams(self.dim, name="norm")()
+            w1, b1 = _DenseParams(self.dim, 4 * self.dim, name="pw1")()
+            w2, b2 = _DenseParams(4 * self.dim, self.dim, name="pw2")()
+            use_pallas = jax.devices()[0].platform not in ("cpu",)
+            z = fused_ln_mlp_residual_ad(h, x, ls, lb, w1, b1, w2, b2,
+                                         gamma, 1e-6, use_pallas)
+            if self.sd_prob > 0.0 and not deterministic:
+                keep = 1.0 - self.sd_prob
+                rng = self.make_rng("droppath")
+                mask = jax.random.bernoulli(rng, keep,
+                                            (z.shape[0], 1, 1, 1))
+                # z = x + branch; droppath scales the branch only
+                z = x + (z - x) * mask.astype(z.dtype) / keep
+            return z
         h = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm")(h)
         h = nn.Dense(4 * self.dim, dtype=self.dtype,
                      kernel_init=trunc_normal_02, name="pw1")(h)
         h = jax.nn.gelu(h, approximate=False)
         h = nn.Dense(self.dim, dtype=self.dtype,
                      kernel_init=trunc_normal_02, name="pw2")(h)
-        gamma = self.param(
-            "layer_scale",
-            nn.initializers.constant(self.layer_scale_init),
-            (self.dim,),
-        )
         h = h * gamma.astype(h.dtype)
         if self.sd_prob > 0.0 and not deterministic:
             keep = 1.0 - self.sd_prob
@@ -127,6 +176,7 @@ class ConvNeXtFeatures(nn.Module):
     num_stages: int = 7  # 7 = full network
     stochastic_depth_prob: float = 0.1
     dtype: Any = jnp.float32
+    fused_mlp: bool = False
 
     @property
     def out_channels(self) -> int:
@@ -170,6 +220,7 @@ class ConvNeXtFeatures(nn.Module):
                 prob = sd * float(block_id) / max(total_blocks - 1.0, 1.0)
                 h = CNBlock(
                     dim, sd_prob=prob, dtype=self.dtype,
+                    fused_mlp=self.fused_mlp,
                     name=f"{stage_name}_block_{j}",
                 )(h, deterministic=deterministic)
                 block_id += 1
@@ -178,22 +229,24 @@ class ConvNeXtFeatures(nn.Module):
 
 
 def convnext_tiny_26_features(num_stages: int = 7, dtype=jnp.float32,
-                              stochastic_depth_prob: float = 0.1):
+                              stochastic_depth_prob: float = 0.1,
+                              fused_mlp: bool = False):
     """Stride threshold 100 -> 26x26 latent at 224 input
     (reference convnext_features.py:38-65)."""
     return ConvNeXtFeatures(
         stride_threshold=100, num_stages=num_stages, dtype=dtype,
-        stochastic_depth_prob=stochastic_depth_prob,
+        stochastic_depth_prob=stochastic_depth_prob, fused_mlp=fused_mlp,
     )
 
 
 def convnext_tiny_13_features(num_stages: int = 7, dtype=jnp.float32,
-                              stochastic_depth_prob: float = 0.1):
+                              stochastic_depth_prob: float = 0.1,
+                              fused_mlp: bool = False):
     """Stride threshold 300 -> 13x13 latent at 224 input
     (reference convnext_features.py:67-94)."""
     return ConvNeXtFeatures(
         stride_threshold=300, num_stages=num_stages, dtype=dtype,
-        stochastic_depth_prob=stochastic_depth_prob,
+        stochastic_depth_prob=stochastic_depth_prob, fused_mlp=fused_mlp,
     )
 
 

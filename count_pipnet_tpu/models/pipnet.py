@@ -49,7 +49,8 @@ BACKBONE_BUILDERS = {
 
 
 def build_backbone(net: str, use_mid_layers: bool = False,
-                   num_stages: int = 2, dtype=jnp.float32):
+                   num_stages: int = 2, dtype=jnp.float32,
+                   fused_mlp: bool = False):
     """Backbone factory mirroring the reference's architecture dicts
     (pipnet/pipnet.py:44-51, count_pipnet.py:171-174)."""
     if net not in BACKBONE_BUILDERS:
@@ -58,7 +59,8 @@ def build_backbone(net: str, use_mid_layers: bool = False,
             f"{sorted(BACKBONE_BUILDERS)}")
     if net.startswith("convnext"):
         stages = num_stages if use_mid_layers else 7
-        return BACKBONE_BUILDERS[net](num_stages=stages, dtype=dtype)
+        return BACKBONE_BUILDERS[net](num_stages=stages, dtype=dtype,
+                                      fused_mlp=fused_mlp)
     return BACKBONE_BUILDERS[net](dtype=dtype)
 
 
@@ -185,7 +187,8 @@ def get_pipnet(num_classes: int, args, dtype=jnp.float32):
     """
     backbone = build_backbone(
         args.net, use_mid_layers=getattr(args, "use_mid_layers", False),
-        num_stages=getattr(args, "num_stages", 2), dtype=dtype)
+        num_stages=getattr(args, "num_stages", 2), dtype=dtype,
+        fused_mlp=getattr(args, "fused_blocks", False))
     num_prototypes = _infer_num_prototypes(args.net, args, backbone)
     model = PIPNet(
         num_classes=num_classes, num_prototypes=num_prototypes,
@@ -208,7 +211,8 @@ def get_count_network(num_classes: int, args, max_count: int = 3,
             f"{supported}")
     backbone = build_backbone(
         args.net, use_mid_layers=getattr(args, "use_mid_layers", False),
-        num_stages=getattr(args, "num_stages", 2), dtype=dtype)
+        num_stages=getattr(args, "num_stages", 2), dtype=dtype,
+        fused_mlp=getattr(args, "fused_blocks", False))
     num_prototypes = _infer_num_prototypes(args.net, args, backbone)
     model = CountPIPNet(
         num_classes=num_classes, num_prototypes=num_prototypes,

@@ -23,7 +23,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["fused_ln_mlp_residual"]
+__all__ = ["fused_ln_mlp_residual", "fused_ln_mlp_residual_ad"]
 
 ROW_TILE = 256
 
@@ -117,3 +117,65 @@ def fused_ln_mlp_residual(x, residual, ln_scale, ln_bias, w1, b1, w2, b2,
       jnp.asarray(b2, jnp.float32).reshape(1, c),
       jnp.asarray(gamma, jnp.float32).reshape(1, c))
     return out[:rows].reshape(orig_shape)
+
+
+# ---------------------------------------------------------------------------
+# Differentiable wrapper: Pallas forward, XLA-vjp backward
+# ---------------------------------------------------------------------------
+def _mlp_body(x, ln_scale, ln_bias, w1, b1, w2, b2, gamma, eps):
+    """Reference body (tanh-GELU, matching the kernel) used for the
+    backward pass and as the CPU fallback."""
+    x32 = x.astype(jnp.float32)
+    mu = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mu), axis=-1, keepdims=True)
+    n = (x32 - mu) * jax.lax.rsqrt(var + eps)
+    n = n * ln_scale.astype(jnp.float32) + ln_bias.astype(jnp.float32)
+    h = n.astype(jnp.bfloat16) @ w1.astype(jnp.bfloat16)
+    h = h.astype(jnp.float32) + b1.astype(jnp.float32)
+    a = jax.nn.gelu(h, approximate=True)
+    y = a.astype(jnp.bfloat16) @ w2.astype(jnp.bfloat16)
+    y = y.astype(jnp.float32) + b2.astype(jnp.float32)
+    return y * gamma.astype(jnp.float32)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10))
+def fused_ln_mlp_residual_ad(x, residual, ln_scale, ln_bias, w1, b1, w2,
+                             b2, gamma, eps=1e-6, use_pallas=True):
+    """Differentiable fused block body: Pallas kernel forward, backward by
+    recomputation through the XLA reference body (a remat-style VJP — the
+    4C-wide intermediates are never saved as residuals, only recomputed in
+    the backward). Training-capable counterpart of
+    :func:`fused_ln_mlp_residual`.
+
+    Note: uses tanh-approximate GELU in BOTH passes (the exact erf GELU
+    has no Pallas TPU lowering); the standard flax module uses exact GELU,
+    so enable fused blocks consistently for a whole run.
+    """
+    if use_pallas:
+        return fused_ln_mlp_residual(x, residual, ln_scale, ln_bias, w1,
+                                     b1, w2, b2, gamma, eps=eps)
+    return (residual.astype(jnp.float32)
+            + _mlp_body(x, ln_scale, ln_bias, w1, b1, w2, b2, gamma,
+                        eps)).astype(residual.dtype)
+
+
+def _fused_ad_fwd(x, residual, ln_scale, ln_bias, w1, b1, w2, b2, gamma,
+                  eps, use_pallas):
+    out = fused_ln_mlp_residual_ad(x, residual, ln_scale, ln_bias, w1, b1,
+                                   w2, b2, gamma, eps, use_pallas)
+    return out, (x, ln_scale, ln_bias, w1, b1, w2, b2, gamma)
+
+
+def _fused_ad_bwd(eps, use_pallas, res, g):
+    x, ln_scale, ln_bias, w1, b1, w2, b2, gamma = res
+    g32 = g.astype(jnp.float32)
+    _, vjp_fn = jax.vjp(
+        lambda *a: _mlp_body(*a, eps), x, ln_scale, ln_bias, w1, b1, w2,
+        b2, gamma)
+    dx, dls, dlb, dw1, db1, dw2, db2, dgamma = vjp_fn(g32)
+    # the residual's gradient is the cotangent itself (identity path);
+    # g already carries the output (= residual) dtype
+    return (dx.astype(x.dtype), g, dls, dlb, dw1, db1, dw2, db2, dgamma)
+
+
+fused_ln_mlp_residual_ad.defvjp(_fused_ad_fwd, _fused_ad_bwd)

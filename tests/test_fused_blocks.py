@@ -1,0 +1,103 @@
+"""Differentiable fused ConvNeXt blocks: param-tree compatibility,
+forward closeness, gradient flow."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from count_pipnet_tpu.models.convnext import convnext_tiny_26_features
+from count_pipnet_tpu.ops.pallas.fused_mlp import (
+    fused_ln_mlp_residual_ad, _mlp_body,
+)
+
+
+class TestFusedAdOp:
+    def _inputs(self):
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.normal(size=(6, 128)).astype(np.float32))
+        res = jnp.asarray(rng.normal(size=(6, 128)).astype(np.float32))
+        ls = jnp.ones((128,))
+        lb = jnp.zeros((128,))
+        w1 = jnp.asarray(rng.normal(size=(128, 512)).astype(np.float32)
+                         * 0.05)
+        b1 = jnp.zeros((512,))
+        w2 = jnp.asarray(rng.normal(size=(512, 128)).astype(np.float32)
+                         * 0.05)
+        b2 = jnp.zeros((128,))
+        gamma = jnp.full((128,), 0.5)
+        return x, res, ls, lb, w1, b1, w2, b2, gamma
+
+    def test_value_matches_body(self):
+        args = self._inputs()
+        out = fused_ln_mlp_residual_ad(*args, 1e-6, False)
+        ref = args[1] + _mlp_body(args[0], *args[2:], 1e-6)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_grads_match_plain_jax(self):
+        args = self._inputs()
+
+        def fused_loss(x, w1, w2, gamma):
+            a = (x, args[1], args[2], args[3], w1, args[5], w2, args[7],
+                 gamma)
+            return jnp.sum(fused_ln_mlp_residual_ad(*a, 1e-6, False) ** 2)
+
+        def plain_loss(x, w1, w2, gamma):
+            body = _mlp_body(x, args[2], args[3], w1, args[5], w2, args[7],
+                             gamma, 1e-6)
+            return jnp.sum((args[1] + body) ** 2)
+
+        gf = jax.grad(fused_loss, argnums=(0, 1, 2, 3))(
+            args[0], args[4], args[6], args[8])
+        gp = jax.grad(plain_loss, argnums=(0, 1, 2, 3))(
+            args[0], args[4], args[6], args[8])
+        for a, b in zip(gf, gp):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-3, atol=1e-4)
+
+
+class TestFusedBackboneModule:
+    def test_param_tree_identical(self):
+        x = jnp.zeros((1, 32, 32, 3))
+        m_std = convnext_tiny_26_features(num_stages=3)
+        m_fused = convnext_tiny_26_features(num_stages=3, fused_mlp=True)
+        p_std = m_std.init({"params": jax.random.PRNGKey(0)}, x)["params"]
+        p_fused = m_fused.init({"params": jax.random.PRNGKey(0)},
+                               x)["params"]
+        shapes = lambda t: jax.tree_util.tree_map(jnp.shape, t)
+        assert shapes(p_std) == shapes(p_fused)
+
+    def test_forward_close_and_grads_flow(self):
+        x = jax.random.uniform(jax.random.PRNGKey(1), (2, 32, 32, 3))
+        m_std = convnext_tiny_26_features(num_stages=2)
+        m_fused = convnext_tiny_26_features(num_stages=2, fused_mlp=True)
+        params = m_std.init({"params": jax.random.PRNGKey(0)}, x)["params"]
+
+        y_std = m_std.apply({"params": params}, x)
+        y_fused = m_fused.apply({"params": params}, x)
+        # tanh vs exact GELU: tiny deviation
+        rel = float(jnp.linalg.norm(y_fused - y_std)
+                    / jnp.linalg.norm(y_std))
+        assert rel < 5e-3
+
+        def loss(p):
+            return jnp.sum(m_fused.apply({"params": p}, x) ** 2)
+
+        g = jax.grad(loss)(params)
+        leaf = g["features_1_block_0"]["pw1"]["kernel"]
+        assert np.any(np.asarray(leaf) != 0)
+        assert np.all(np.isfinite(np.asarray(leaf)))
+
+    def test_checkpoint_interchange(self):
+        """Params trained with one path load into the other."""
+        from flax import serialization
+        x = jnp.zeros((1, 32, 32, 3))
+        m_std = convnext_tiny_26_features(num_stages=1)
+        m_fused = convnext_tiny_26_features(num_stages=1, fused_mlp=True)
+        p = m_std.init({"params": jax.random.PRNGKey(0)}, x)["params"]
+        blob = serialization.msgpack_serialize(
+            jax.tree_util.tree_map(np.asarray, p))
+        restored = serialization.msgpack_restore(blob)
+        y = m_fused.apply({"params": restored}, x)
+        assert jnp.all(jnp.isfinite(y))
