@@ -233,7 +233,10 @@ def get_data(args, basepath="./"):
     else:
         testset = TransformedDataset(ImageFolder(base / test_d), no_aug)
 
-    trainset = Subset(TwoAugDataset(trainval, t1, t2), train_indices)
+    trainset = Subset(
+        TwoAugDataset(trainval, t1, t2,
+                      single_view=device_aug_cfg is not None),
+        train_indices)
     trainset.device_augment_cfg = device_aug_cfg
     trainset_normal = Subset(TransformedDataset(trainval, no_aug),
                              train_indices)
@@ -256,7 +259,9 @@ def get_data(args, basepath="./"):
             pre_indices, _ = stratified_split(
                 pre_base.targets, args.validation_size, args.seed)
         trainset_pretraining = Subset(
-            TwoAugDataset(pre_base, t1p, t2), pre_indices)
+            TwoAugDataset(pre_base, t1p, t2,
+                          single_view=device_aug_cfg is not None),
+            pre_indices)
         trainset_pretraining.device_augment_cfg = device_aug_cfg
 
     return (trainset, trainset_pretraining, trainset_normal,

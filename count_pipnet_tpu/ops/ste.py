@@ -20,9 +20,13 @@ Semantics notes (verified empirically against the PyTorch reference):
   1. zero-count entries NEVER receive a gradient (the intended behavior in
      the reference docstring — pass the bin-0 gradient when negative — is
      dead code at count_pipnet_utils.py:318);
-  2. under ``positive_grad_strategy='max_grad'``, entries whose gradient row
-     contains any negative value receive a ZERO gradient (the intended
-     directional fallback at count_pipnet_utils.py:283-284 is dead code).
+  2. under ``positive_grad_strategy='max_grad'``, IF any nonzero-count entry
+     in the batch has an all-positive gradient row (the batch-global gate at
+     count_pipnet_utils.py:271), entries whose gradient row contains a
+     negative value receive a ZERO gradient (the intended directional
+     fallback at count_pipnet_utils.py:283-284 is dead code). When no such
+     entry exists, the reference's working else-branch applies full
+     directional logic.
 
   Set ``fixed_zero_grad=True`` to enable the documented/intended behavior
   instead (an opt-in extension, not used by default).
@@ -178,9 +182,21 @@ def _monehot_bwd(max_count, respect_active_grad, positive_grad_strategy,
             )
             grad_nz = jnp.where(all_pos, max_val, directional)
         else:
-            # Reference actual behavior: standard-processing rows get zero
-            # (dead code at count_pipnet_utils.py:283-284).
-            grad_nz = jnp.where(all_pos, max_val, 0.0)
+            # Reference actual behavior: the chained-indexing no-op (rows
+            # with negatives get ZERO, dead code at
+            # count_pipnet_utils.py:283-284) only fires when the
+            # batch-global gate `torch.any(all_pos)` over NONZERO rows is
+            # true (count_pipnet_utils.py:271); when no nonzero row is
+            # all-positive, the working else-branch applies full
+            # directional logic with magnitude |min|.
+            any_ap = jnp.any(all_pos & ~zero_mask)
+            mag = jnp.abs(min_val)
+            directional = jnp.where(
+                min_idx < cur, mag, jnp.where(min_idx > cur, -mag, 0.0)
+            )
+            grad_nz = jnp.where(
+                any_ap, jnp.where(all_pos, max_val, 0.0), directional
+            )
     else:
         mag = jnp.abs(min_val)
         if positive_grad_strategy == "current_grad":

@@ -232,12 +232,11 @@ class Trainer:
         lrs_net, lrs_class = [], []
         n = 0
         t0 = time.time()
-        for i, (xs1, xs2, ys) in enumerate(loader):
-            # host-side per-step LR (exact torch stepping semantics)
-            if not finetune:
-                lr_net_fac = net_sched["step"]
-            else:
-                lr_net_fac = net_sched["step"]  # frozen counter
+        for i, host_batch in enumerate(loader):
+            # host-side per-step LR (exact torch stepping semantics; the
+            # counter itself is only advanced outside finetune below, so
+            # finetune epochs see a frozen net LR)
+            lr_net_fac = net_sched["step"]
             lr = {
                 "backbone": cosine_lr(args.lr_net, lr_net_fac,
                                       net_sched["T"], net_sched["eta_min"]),
@@ -270,6 +269,7 @@ class Trainer:
             }
 
             if dev_aug is not None:
+                xs1, ys = host_batch  # single-view host pipeline
                 raw, ys_s = shard_batch(self.mesh, (
                     np.asarray(xs1, np.float32),
                     np.asarray(ys, np.int32)))
@@ -277,6 +277,7 @@ class Trainer:
                 v1, v2 = dev_aug(akey, raw)
                 batch = (v1, v2, ys_s)
             else:
+                xs1, xs2, ys = host_batch
                 batch = shard_batch(self.mesh, (
                     np.asarray(xs1, np.float32),
                     np.asarray(xs2, np.float32),
