@@ -12,8 +12,12 @@ read of x and one write of y per block.
 VMEM budget per grid step (stage 4, C=768, ROW_TILE=128):
   x tile 0.4 MB (bf16) + w1/w2 9.4 MB (bf16) + h 1.5 MB (fp32) — ~12 MB.
 
-Inference-only (no custom VJP); training keeps the flax module. Used by
-models/quantized.fused_convnext_apply / serving fused_mlp=True.
+Two entry points: :func:`fused_ln_mlp_residual` (raw kernel, serving fast
+path) and :func:`fused_ln_mlp_residual_ad` (differentiable wrapper whose
+custom VJP recomputes the block body with XLA ops — remat-style — so
+``--fused_blocks`` training gets the Pallas forward AND exact gradients).
+Used by models/quantized.fused_convnext_apply / serving fused_mlp=True /
+models/convnext.py fused block bodies.
 """
 
 import functools

@@ -164,6 +164,8 @@ def make_eval_step(model, *, num_classes: int):
 
         max_out, ys_pred = jnp.max(out, axis=1), jnp.argmax(out, axis=1)
         mult = params["classification"]["multiplier"][0]
+        # AUC score input: amax(softmax(log1p(out**multiplier)))
+        # (verified against reference test.py:78).
         pred_scores = jnp.max(
             jax.nn.softmax(jnp.log1p(out ** mult), axis=1), axis=1)
         abstained = jnp.sum(max_out == 0)
