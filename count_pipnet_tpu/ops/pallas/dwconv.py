@@ -50,7 +50,7 @@ def dwconv7(x, kernel, bias, *, out_dtype=None, interpret: bool = False):
     wk = jnp.asarray(kernel, jnp.float32).reshape(K * K, c)
 
     kern = functools.partial(_kernel, h=h, w=w)
-    space = pltpu.ANY if interpret else pltpu.VMEM
+    space = pl.ANY if interpret else pltpu.VMEM
     out = pl.pallas_call(
         kern,
         grid=(b,),

@@ -100,17 +100,17 @@ def fused_count_head(features, w, b, *, tile_hw: int = TILE_HW,
         in_specs=[
             pl.BlockSpec((batch_tile, tile_hw, c),
                          lambda bi, t: (bi, t, 0),
-                         memory_space=pltpu.ANY
+                         memory_space=pl.ANY
                          if interpret else pltpu.VMEM),
             pl.BlockSpec((c, p), lambda bi, t: (0, 0),
-                         memory_space=pltpu.ANY
+                         memory_space=pl.ANY
                          if interpret else pltpu.VMEM),
             pl.BlockSpec((1, p), lambda bi, t: (0, 0),
-                         memory_space=pltpu.ANY
+                         memory_space=pl.ANY
                          if interpret else pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((batch_tile, p), lambda bi, t: (bi, 0),
-                               memory_space=pltpu.ANY
+                               memory_space=pl.ANY
                                if interpret else pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((num_btiles * batch_tile, p),
                                        jnp.float32),

@@ -86,7 +86,7 @@ def fused_ln_mlp_residual(x, residual, ln_scale, ln_bias, w1, b1, w2, b2,
         rf = jnp.pad(rf, ((0, pad), (0, 0)))
 
     kernel = functools.partial(_kernel, eps=eps)
-    space = pltpu.ANY if interpret else pltpu.VMEM
+    space = pl.ANY if interpret else pltpu.VMEM
 
     def rep(i):
         return (0, 0)

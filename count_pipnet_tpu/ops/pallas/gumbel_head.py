@@ -106,7 +106,7 @@ def gumbel_hard_counts(feats, seed, *, tile_hw: int = TILE_HW,
     if pad_hw or pad_b:
         x = jnp.pad(x, ((0, pad_b), (0, pad_hw), (0, 0)))
 
-    space = pltpu.ANY if interpret else pltpu.VMEM
+    space = pl.ANY if interpret else pltpu.VMEM
     tile_spec = pl.BlockSpec((batch_tile, tile_hw, c),
                              lambda bi, t: (bi, t, 0), memory_space=space)
     out_spec = pl.BlockSpec((batch_tile, c), lambda bi, t: (bi, 0),
