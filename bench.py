@@ -51,17 +51,19 @@ def main():
     if on_tpu:
         # Reference-parity inference forward (gumbel-hard head, clamped
         # counts, NonNeg classifier — count_pipnet.py:70-110 semantics)
-        # on the fused-MLP Pallas backbone with the on-core-PRNG
-        # gumbel-histogram head (BENCH_NOTES.md).
-        from count_pipnet_tpu.models.quantized import fused_convnext_apply
+        # on the whole-block Pallas backbone (one kernel per ConvNeXt
+        # block, int8 MXU GEMMs in the wide stages) with the
+        # on-core-PRNG gumbel-histogram head (BENCH_NOTES.md).
+        from count_pipnet_tpu.models.quantized import \
+            fused_block_convnext_apply
         from count_pipnet_tpu.ops.pallas.gumbel_head import \
             gumbel_hard_counts
         from count_pipnet_tpu.ops.ste import create_modified_encoding
 
         @jax.jit
         def _infer_seeded(params, x, seed):
-            feats = fused_convnext_apply(params["backbone"], x,
-                                         stride_threshold=100, num_stages=7)
+            feats = fused_block_convnext_apply(
+                params["backbone"], x, stride_threshold=100, num_stages=7)
             counts = gumbel_hard_counts(feats, seed)
             clamped = jnp.clip(jnp.round(counts), 0.0, 3.0)
             enc = create_modified_encoding(clamped, 3)

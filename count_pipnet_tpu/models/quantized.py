@@ -27,7 +27,8 @@ import jax.numpy as jnp
 from .convnext import CONVNEXT_TINY_STAGES
 
 __all__ = ["quantize_convnext_params", "quant_convnext_apply",
-           "int8_rowwise_matmul", "fused_convnext_apply"]
+           "int8_rowwise_matmul", "fused_convnext_apply",
+           "fused_block_convnext_apply"]
 
 
 def _quantize_weight(kernel):
@@ -144,6 +145,59 @@ def fused_convnext_apply(params: Dict, x, *, stride_threshold: int = 100,
                 blk["pw1"]["kernel"], blk["pw1"]["bias"],
                 blk["pw2"]["kernel"], blk["pw2"]["bias"],
                 blk["layer_scale"], interpret=interpret)
+        feat_idx += 1
+    return h
+
+
+def fused_block_convnext_apply(params: Dict, x, *,
+                               stride_threshold: int = 100,
+                               num_stages: int = 7,
+                               stage_settings=CONVNEXT_TINY_STAGES,
+                               dtype=jnp.bfloat16,
+                               int8_min_dim: int = 384,
+                               interpret: bool = False):
+    """Serving forward with ONE Pallas kernel per ConvNeXt block
+    (ops/pallas/fused_block.py: dwconv + LN + MLP + layer-scale +
+    residual, planes kept flattened [B, H*W, C] across each stage).
+    Stages whose width is >= ``int8_min_dim`` run their pointwise GEMMs
+    in int8 (measured 125-207 TF/s vs the 126 TF/s bf16 ceiling); narrow
+    stages stay bf16 (int8 is not faster below C=384). Takes the ORIGINAL
+    ConvNeXtFeatures param tree; mirrors ConvNeXtFeatures.__call__."""
+    from ..ops.pallas.fused_block import fused_block_apply
+
+    stem = params["features_0"]
+    h = _conv(x, stem["conv"]["kernel"], stem["conv"]["bias"], 4, dtype)
+    h = _layer_norm(h, stem["norm"]["scale"], stem["norm"]["bias"]) \
+        .astype(dtype)
+
+    feat_idx = 1
+    for k, (dim, n_blocks) in enumerate(stage_settings):
+        if k > 0:
+            if feat_idx > num_stages:
+                break
+            ds = params[f"features_{feat_idx}"]
+            in_ch = stage_settings[k - 1][0]
+            stride = 1 if in_ch > stride_threshold else 2
+            hn = _layer_norm(h, ds["norm"]["scale"], ds["norm"]["bias"]) \
+                .astype(dtype)
+            h = _conv(hn, ds["conv"]["kernel"], ds["conv"]["bias"], stride,
+                      dtype)
+            feat_idx += 1
+        if feat_idx > num_stages:
+            break
+        b, hh, ww, c = h.shape
+        flat = h.reshape(b, hh * ww, c)
+        use_int8 = c >= int8_min_dim
+        for j in range(n_blocks):
+            blk = params[f"features_{feat_idx}_block_{j}"]
+            flat = fused_block_apply(
+                flat, hh, ww, blk["dwconv"]["kernel"],
+                blk["dwconv"]["bias"], blk["norm"]["scale"],
+                blk["norm"]["bias"], blk["pw1"]["kernel"],
+                blk["pw1"]["bias"], blk["pw2"]["kernel"],
+                blk["pw2"]["bias"], blk["layer_scale"],
+                int8=use_int8, interpret=interpret)
+        h = flat.reshape(b, hh, ww, c)
         feat_idx += 1
     return h
 

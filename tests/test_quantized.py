@@ -122,3 +122,66 @@ class TestDwconvKernel:
         got = dwconv7(x, k, b, interpret=True)
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    rtol=1e-4, atol=1e-4)
+
+
+class TestFusedBlockKernel:
+    """Whole-block serving kernel (ops/pallas/fused_block.py): dwconv +
+    LN + MLP + layer-scale + residual in one Pallas call, bf16 and int8
+    matmul modes, vs an op-by-op XLA reference."""
+
+    def _ref_block(self, x4, dwk, dwb, lns, lnb, w1, b1, w2, b2, g):
+        from count_pipnet_tpu.models.quantized import _dwconv7, _layer_norm
+        d = _dwconv7(x4, dwk, dwb, jnp.float32)
+        n = _layer_norm(d, lns, lnb)
+        a = jax.nn.gelu(n @ w1 + b1, approximate=True)
+        return x4 + (a @ w2 + b2) * g
+
+    def _mk(self, seed=0, b=2, h=9, w=9, c=128):
+        rng = np.random.default_rng(seed)
+        def arr(*s, scale=1.0):
+            return jnp.asarray(rng.normal(size=s).astype(np.float32)
+                               * scale)
+        return (arr(b, h, w, c), arr(7, 7, 1, c, scale=0.1),
+                arr(c, scale=0.1), arr(c, scale=0.2) + 1.0,
+                arr(c, scale=0.1), arr(c, 4 * c, scale=0.05),
+                arr(4 * c, scale=0.05), arr(4 * c, c, scale=0.05),
+                arr(c, scale=0.05), arr(c, scale=0.2))
+
+    def test_bf16_mode_matches_reference(self):
+        from count_pipnet_tpu.ops.pallas.fused_block import \
+            fused_block_apply
+        x4, *ps = self._mk()
+        b, h, w, c = x4.shape
+        ref = np.asarray(self._ref_block(x4, *ps))
+        got = np.asarray(fused_block_apply(
+            x4.reshape(b, h * w, c), h, w, *ps,
+            interpret=True)).reshape(b, h, w, c)
+        scale = np.max(np.abs(ref))
+        np.testing.assert_allclose(got / scale, ref / scale, atol=2e-3)
+
+    def test_int8_mode_close_to_reference(self):
+        from count_pipnet_tpu.ops.pallas.fused_block import \
+            fused_block_apply
+        x4, *ps = self._mk(seed=1)
+        b, h, w, c = x4.shape
+        ref = np.asarray(self._ref_block(x4, *ps))
+        got = np.asarray(fused_block_apply(
+            x4.reshape(b, h * w, c), h, w, *ps, int8=True,
+            interpret=True)).reshape(b, h, w, c)
+        scale = np.max(np.abs(ref))
+        np.testing.assert_allclose(got / scale, ref / scale, atol=1e-2)
+
+    def test_full_backbone_matches_flax(self, setup):
+        from count_pipnet_tpu.models.quantized import \
+            fused_block_convnext_apply
+        model, params, x = setup
+        bb = model.backbone
+        ref = bb.apply({"params": params["backbone"]}, x,
+                       deterministic=True)
+        got = fused_block_convnext_apply(
+            params["backbone"], x, stride_threshold=bb.stride_threshold,
+            num_stages=bb.num_stages, stage_settings=bb.stage_settings,
+            dtype=jnp.float32, int8_min_dim=10 ** 9, interpret=True)
+        scale = float(jnp.max(jnp.abs(ref))) + 1e-9
+        np.testing.assert_allclose(np.asarray(got) / scale,
+                                   np.asarray(ref) / scale, atol=5e-3)
