@@ -101,6 +101,24 @@ def build_parser() -> argparse.ArgumentParser:
              "Pallas kernel (tanh-approx GELU; Pallas forward + "
              "remat-style backward). Same param tree as the standard "
              "path — checkpoints interchange")
+    add("--viz_topk", type=_bool, choices=[True, False], default=True,
+        help="save per-prototype top-k patch PNGs during the best-model "
+             "visualization (reference vis_pipnet plot_topk)")
+    add("--viz_prototype_maps", type=_bool, choices=[True, False],
+        default=True,
+        help="render rich prototype feature-map artifacts (original + "
+             "rect, side-by-side heatmap, masked overlay, debug txt) for "
+             "the best model (reference util/vis_pipnet.py:354-486, "
+             ":888-1032)")
+    add("--viz_histograms", type=_bool, choices=[True, False],
+        default=False,
+        help="plot per-class prototype activation histograms during the "
+             "best-model visualization")
+    add("--interpret", action="store_true",
+        help="after training, run the interpretability suite on the "
+             "finished run: prediction explanations (vis_pred) and "
+             "activation histograms; saliency attribution stays available "
+             "via count_pipnet_tpu.interpret.interpret_idg")
     add("--dtype", type=str, default="bfloat16",
         choices=["bfloat16", "float32"], help="compute dtype")
     add("--mesh_shape", type=int, default=-1,

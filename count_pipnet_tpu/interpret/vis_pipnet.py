@@ -335,7 +335,9 @@ def vizualize_network(trainer, projectloader, num_classes, foldername, args,
     if visualize_prototype_maps:
         _render_prototype_maps(model, params, batch_stats, tau, topks,
                                paths, stats, out_dir, img_size,
-                               max_feature_maps_per_prototype)
+                               max_feature_maps_per_prototype,
+                               softmaxes_shape, patchsize, skip,
+                               is_count=is_count)
 
     if plot_histograms:
         try:
@@ -388,13 +390,46 @@ def visualize_all_patches(trainer, projectloader, foldername, args,
     print(f"Full patch dump written to {out_dir}", flush=True)
 
 
+def _zoom_bilinear(fm, out_h, out_w):
+    """Upsample a 2-D feature map to pixel resolution (stand-in for the
+    reference's scipy.ndimage.zoom, which isn't in this environment)."""
+    im = Image.fromarray(fm.astype(np.float32), mode="F")
+    return np.asarray(im.resize((out_w, out_h), Image.BILINEAR))
+
+
+def _select_pipnet_examples(items, max_maps):
+    """Highest, middle, and lowest-still->0.1 activation examples
+    (reference vis_pipnet.py:371-391)."""
+    sel = [0]
+    if len(items) > 2:
+        sel.append(len(items) // 2)
+    if len(items) > 1:
+        lo = len(items) - 1
+        while lo > 0 and items[lo][1] < 0.1:
+            lo -= 1
+        if lo not in sel:
+            sel.append(lo)
+    return sel[:max_maps]
+
+
 def _render_prototype_maps(model, params, batch_stats, tau, topks, paths,
-                           stats, out_dir, img_size, max_maps):
-    """Heatmap overlays of prototype feature maps for the top images
-    (reference vis_pipnet.py:354-486, :888-1032)."""
+                           stats, out_dir, img_size, max_maps,
+                           softmaxes_shape, patchsize, skip,
+                           is_count=False):
+    """Rich prototype feature-map renders, reproducing the reference's
+    artifact set (util/vis_pipnet.py:354-486 PIPNet, :888-1032 Count):
+
+      feature_maps/prototype_<p>/<base>_original.png     image + patch rect
+      feature_maps/prototype_<p>/<base>_feature_map.png  side-by-side heatmap
+      feature_maps/prototype_<p>/<base>_overlay.png      masked zoomed overlay
+      feature_maps/prototype_<p>/<base>_debug.txt        (count variant)
+
+    PIPNet selection: highest / middle / lowest>0.1 activation; Count
+    selection: best example per count group (by the model's own count).
+    """
     import matplotlib
     matplotlib.use("Agg")
-    import matplotlib.cm as cm
+    import matplotlib.pyplot as plt
 
     model_state = {"batch_stats": batch_stats} if batch_stats else {}
 
@@ -408,28 +443,112 @@ def _render_prototype_maps(model, params, batch_stats, tau, topks, paths,
     rng = jax.random.PRNGKey(1)
     from ..data import augment as A
     normalize = A.Compose([A.ToArray(), A.Normalize()])
+    feature_maps_dir = os.path.join(out_dir, "feature_maps")
 
     for p, items in topks.items():
-        maps_dir = os.path.join(out_dir, f"prototype_{p}", "maps")
-        done = 0
-        for (i, score) in items:
-            if done >= max_maps or score <= 0:
-                break
+        items = [(i, s) for (i, s) in items if s > 0]
+        if not items:
+            continue
+        proto_dir = os.path.join(feature_maps_dir, f"prototype_{p}")
+        os.makedirs(proto_dir, exist_ok=True)
+
+        if is_count:
+            # best example per count group, ranked by the model's count
+            groups: Dict[int, Tuple[int, float]] = {}
+            for (i, s) in items:
+                cnt = _count_from_class(int(stats["ys"][i])) or 0
+                model_count = float(stats["pooled"][i, p])
+                if cnt not in groups or model_count > groups[cnt][1]:
+                    groups[cnt] = (i, model_count)
+            selected = [(i, mc, cnt)
+                        for cnt, (i, mc) in sorted(groups.items())]
+            selected = selected[:max_maps]
+        else:
+            idxs = _select_pipnet_examples(items, max_maps)
+            selected = [(items[r][0], items[r][1], None) for r in idxs]
+
+        for rank, (i, score, cnt) in enumerate(selected):
             img = _load_resized(paths[i], img_size)
+            img_np = np.asarray(img).astype(np.float32) / 255.0
             xs = normalize(img, None)[None]
             rng, sub = jax.random.split(rng)
-            pm = np.asarray(proto_maps(jnp.asarray(xs), sub))[0, :, :, p]
-            pm = pm / (pm.max() + 1e-8)
-            heat = cm.jet(np.asarray(
-                Image.fromarray((pm * 255).astype(np.uint8)).resize(
-                    (img_size, img_size), Image.BILINEAR)) / 255.0)
-            heat_img = Image.fromarray(
-                (heat[..., :3] * 255).astype(np.uint8))
-            overlay = Image.blend(img, heat_img, 0.5)
-            os.makedirs(maps_dir, exist_ok=True)
-            side = Image.new("RGB", (img_size * 2 + 4, img_size), "white")
-            side.paste(img, (0, 0))
-            side.paste(overlay, (img_size + 4, 0))
-            side.save(os.path.join(
-                maps_dir, f"map_{done}_img{i}_sim{score:.3f}.png"))
-            done += 1
+            fm = np.asarray(proto_maps(jnp.asarray(xs), sub))[0, :, :, p]
+            h_idx = int(stats["h_idx"][i, p])
+            w_idx = int(stats["w_idx"][i, p])
+            h0, h1, w0, w1 = get_img_coordinates(
+                img_size, softmaxes_shape, patchsize, skip, h_idx, w_idx)
+
+            if is_count:
+                cls = int(stats["ys"][i])
+                base = (f"proto_{p}_count_{cnt}_model_count_{score:.1f}"
+                        f"_class_{cls}")
+                title = (f"Prototype {p} - Count: {cnt} "
+                         f"(Model Count: {score:.1f}, Class: {cls})")
+                with open(os.path.join(proto_dir, f"{base}_debug.txt"),
+                          "w") as f:
+                    f.write(
+                        f"Prototype {p} Count Statistics:\n"
+                        f"Count Group (from class): {cnt}\n"
+                        f"Model Count Value: {score:.3f}\n"
+                        f"Class Label: {cls}\n"
+                        f"Feature map shape: {fm.shape}\n"
+                        f"Feature map sum: {fm.sum():.3f}\n"
+                        f"Feature map max value: {fm.max():.3f}\n"
+                        f"Feature map mean: {fm.mean():.3f}\n")
+            else:
+                base = (f"proto_{p}_rank_{rank + 1}_of_{len(selected)}"
+                        f"_score_{score:.3f}")
+                title = (f"Prototype {p} - Activation: {score:.3f} "
+                         f"(Map Sum: {fm.sum():.3f})")
+
+            def rect():
+                return plt.Rectangle((w0, h0), w1 - w0, h1 - h0,
+                                     fill=False, edgecolor="yellow",
+                                     linewidth=2)
+
+            # 1. original + patch rectangle
+            plt.figure(figsize=(6, 5))
+            plt.imshow(img_np)
+            plt.gca().add_patch(rect())
+            plt.axis("off")
+            plt.title(title, fontsize=9)
+            plt.tight_layout()
+            plt.savefig(os.path.join(proto_dir, f"{base}_original.png"),
+                        bbox_inches="tight", dpi=100)
+            plt.close()
+
+            # 2. side-by-side original(+rect) and heatmap with argmax X
+            fig, (ax1, ax2) = plt.subplots(1, 2, figsize=(10, 5))
+            ax1.imshow(img_np)
+            ax1.add_patch(rect())
+            ax1.set_title("Original Image")
+            ax1.axis("off")
+            hm = ax2.imshow(fm, cmap="viridis")
+            ax2.scatter(w_idx, h_idx, marker="x", color="red", s=100)
+            ax2.set_title("Feature Map Heatmap")
+            ax2.axis("off")
+            fig.colorbar(hm, ax=ax2, label="Activation")
+            plt.suptitle(title, fontsize=9)
+            plt.tight_layout()
+            plt.savefig(os.path.join(proto_dir, f"{base}_feature_map.png"),
+                        bbox_inches="tight", dpi=100)
+            plt.close()
+
+            # 3. masked zoomed overlay (activations > 0.1 only)
+            resized = _zoom_bilinear(fm, img_np.shape[0], img_np.shape[1])
+            mask = resized > 0.1
+            colored = matplotlib.colormaps["viridis"](
+                np.clip(resized, 0.0, 1.0))
+            overlay = np.zeros((*resized.shape, 4), np.float32)
+            overlay[mask] = colored[mask]
+            overlay[mask, 3] = 0.7
+            plt.figure(figsize=(6, 5))
+            plt.imshow(img_np)
+            plt.imshow(overlay, alpha=0.7)
+            plt.gca().add_patch(rect())
+            plt.title(title, fontsize=9)
+            plt.axis("off")
+            plt.tight_layout()
+            plt.savefig(os.path.join(proto_dir, f"{base}_overlay.png"),
+                        bbox_inches="tight", dpi=100)
+            plt.close()

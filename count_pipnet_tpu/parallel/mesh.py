@@ -5,9 +5,15 @@ device-parallel mechanism; SURVEY.md §2/§5).
 Design: pure data parallelism expressed as a 1-D ``jax.sharding.Mesh`` over
 the 'data' axis. Inputs are batch-sharded, parameters/optimizer state are
 replicated, and XLA's SPMD partitioner inserts the gradient all-reduce over
-ICI — no hand-written collectives. Multi-host extends this by initializing
-``jax.distributed`` and feeding each host its local shard (the loader already
-yields host-local batches); the sharding annotations below are unchanged.
+ICI — no hand-written collectives.
+
+Multi-host (DCN): parallel/distributed.py initializes ``jax.distributed``;
+``make_mesh`` then spans all GLOBAL devices, and ``shard_batch`` /
+``replicate`` assemble global arrays from process-local data. Because the
+loader is deterministic per (seed, epoch, index), every host materializes
+the identical global batch and contributes its own ``host_batch_slice`` —
+no cross-host data exchange is needed. Tested by tests/test_multihost.py
+(a real 2-process x 4-device CPU cluster).
 """
 
 
@@ -49,13 +55,31 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, batch, axis_name: str = "data"):
-    """Place a host batch (pytree of arrays, leading dim = batch) onto the
-    mesh, sharded over the batch dimension."""
+    """Place a GLOBAL host batch (pytree of arrays, leading dim = batch)
+    onto the mesh, sharded over the batch dimension.
+
+    Multi-process: every host loads the identical global batch (the
+    loader is deterministic in (seed, epoch, index)); this host keeps its
+    ``host_batch_slice`` and the global array is assembled from the
+    process-local shards."""
     sh = batch_sharding(mesh, axis_name)
+    if jax.process_count() > 1:
+        from .distributed import host_batch_slice
+
+        def put(x):
+            x = np.asarray(x)
+            lo, hi = host_batch_slice(x.shape[0])
+            return jax.make_array_from_process_local_data(sh, x[lo:hi])
+
+        return jax.tree_util.tree_map(put, batch)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
 
 
 def replicate(mesh: Mesh, tree):
     """Replicate a pytree (params / optimizer state) across the mesh."""
     sh = replicated_sharding(mesh)
+    if jax.process_count() > 1:
+        return jax.tree_util.tree_map(
+            lambda x: jax.make_array_from_process_local_data(
+                sh, np.asarray(x)), tree)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)

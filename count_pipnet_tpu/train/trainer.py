@@ -575,8 +575,11 @@ def run_pipnet(args):
                       f"{meta.get('epoch')}")
             vizualize_network(
                 trainer, projectloader, num_classes, folder, args,
-                plot_histograms=False, visualize_prototype_maps=False,
-                plot_topk=False, are_pretraining_prototypes=False)
+                plot_histograms=getattr(args, "viz_histograms", False),
+                visualize_prototype_maps=getattr(
+                    args, "viz_prototype_maps", True),
+                plot_topk=getattr(args, "viz_topk", True),
+                are_pretraining_prototypes=False)
         except Exception as e:
             print(f"(prototype visualization skipped: {e})", flush=True)
     else:
@@ -599,6 +602,28 @@ def run_pipnet(args):
                   f"prototypes: {relevant}", flush=True)
     except Exception as e:
         print(f"(scoring-sheet printout skipped: {e})", flush=True)
+
+    # --interpret: run the interpretability suite on the finished model
+    # (the reference ships interpret_idg/vis_pred as separate scripts;
+    # here one flag drives them off the just-trained best checkpoint).
+    if getattr(args, "interpret", False):
+        try:
+            from ..data.registry import DATASET_RECIPES
+            from ..interpret.visualize_prediction import vis_pred
+            _, (_tr, _pr, test_d, *_rest) = DATASET_RECIPES[args.dataset]
+            if test_d is not None and os.path.isdir(test_d):
+                vis_pred(trainer, test_d, classes, args)
+        except Exception as e:
+            print(f"(prediction explanations skipped: {e})", flush=True)
+        try:
+            from ..interpret.histograms import \
+                plot_prototype_activations_by_class
+            plot_prototype_activations_by_class(
+                trainer, projectloader, num_classes,
+                os.path.join(args.log_dir, "activation_histograms"), args,
+                class_names=classes)
+        except Exception as e:
+            print(f"(activation histograms skipped: {e})", flush=True)
 
     print("Done!", flush=True)
     return trainer

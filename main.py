@@ -17,6 +17,11 @@ from count_pipnet_tpu.utils.log import tee_std_streams
 
 
 def main():
+    # Multi-host runs (JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES /
+    # JAX_PROCESS_ID set): connect the process group before any device
+    # access; no-op for plain single-process runs.
+    from count_pipnet_tpu.parallel.distributed import maybe_initialize
+    maybe_initialize()
     args = get_args()
     os.makedirs(args.log_dir, exist_ok=True)
     restore = tee_std_streams(args.log_dir)

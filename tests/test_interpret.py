@@ -134,6 +134,33 @@ class TestProjectionScoring:
         assert any(f.name.startswith("grid_topk")
                    for f in out_dir.iterdir())
 
+    def test_prototype_map_renders(self, tiny_setup):
+        """Rich feature-map artifacts (reference vis_pipnet.py:354-486,
+        :888-1032): original+rect, side-by-side heatmap, masked overlay,
+        count debug txt — under feature_maps/prototype_<p>/."""
+        from count_pipnet_tpu.interpret.vis_pipnet import vizualize_network
+        trainer, loader, root = tiny_setup
+
+        class VArgs:
+            log_dir = str(root / "run")
+            image_size = 32
+            wshape = 8
+
+        vizualize_network(
+            trainer, loader, 3, "vis_maps", VArgs, k=3,
+            are_pretraining_prototypes=True, plot_histograms=False,
+            visualize_prototype_maps=True, plot_topk=False)
+        fm_dir = root / "run/vis_maps/feature_maps"
+        assert fm_dir.exists()
+        proto_dirs = [d for d in fm_dir.iterdir() if d.is_dir()]
+        assert proto_dirs, "no prototype dirs rendered"
+        names = [f.name for d in proto_dirs for f in d.iterdir()]
+        assert any(n.endswith("_original.png") for n in names)
+        assert any(n.endswith("_feature_map.png") for n in names)
+        assert any(n.endswith("_overlay.png") for n in names)
+        # count model => debug txt with the count-group stats
+        assert any(n.endswith("_debug.txt") for n in names)
+
 
 class TestSaliency:
     def _model_fn(self):
