@@ -258,3 +258,49 @@ def interpret_logits_for_dataset(cfg=None, max_images=50):
         Image.fromarray((gray * 255).astype(np.uint8)).save(
             os.path.join(out_dir, f"{i}_{classes[pred]}.png"))
     print(f"Logit attributions saved to {out_dir}", flush=True)
+
+
+def _cli():
+    """Runnable-script parity with the reference (its interpret_idg.py is
+    executed directly with GLOBAL_CFG edited in place; here the config
+    keys are CLI flags)."""
+    import argparse
+
+    ap = argparse.ArgumentParser(
+        "Prototype/logit saliency attribution for a trained run")
+    ap.add_argument("--run_dir", type=str, required=True)
+    ap.add_argument("--checkpoint", type=str,
+                    default=GLOBAL_CFG["checkpoint"])
+    ap.add_argument("--method", type=str, default=GLOBAL_CFG["method"],
+                    choices=["IG", "LIG", "IDG", "GIG"])
+    ap.add_argument("--steps", type=int, default=GLOBAL_CFG["steps"])
+    ap.add_argument("--images_per_class", type=int,
+                    default=GLOBAL_CFG["images_per_class"])
+    ap.add_argument("--prototype_threshold", type=float,
+                    default=GLOBAL_CFG["prototype_threshold"])
+    ap.add_argument("--output_dir", type=str,
+                    default=GLOBAL_CFG["output_dir"])
+    ap.add_argument("--seed", type=int, default=GLOBAL_CFG["seed"])
+    ap.add_argument("--mode", type=str, default="prototypes",
+                    choices=["prototypes", "logits"])
+    ap.add_argument("--max_images", type=int, default=50,
+                    help="logits mode: dataset images to attribute")
+    cli = ap.parse_args()
+
+    cfg = dict(GLOBAL_CFG)
+    for k in ("run_dir", "checkpoint", "method", "steps",
+              "images_per_class", "prototype_threshold", "output_dir",
+              "seed"):
+        cfg[k] = getattr(cli, k)
+    cfg["batch_size"] = min(cfg["batch_size"], cli.steps)
+    if cli.mode == "prototypes":
+        interpret(cfg)
+    else:
+        interpret_logits_for_dataset(cfg, max_images=cli.max_images)
+
+
+if __name__ == "__main__":
+    import os as _os
+    if _os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+        jax.config.update("jax_platforms", "cpu")
+    _cli()
