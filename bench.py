@@ -103,6 +103,32 @@ def main():
     dt = time.perf_counter() - t0
     assert np.all(np.isfinite(out_host))
 
+    if on_tpu:
+        # Regression check for the quantized serving path + hardware-PRNG
+        # gumbel head: the int8 whole-block backbone must reproduce the
+        # bf16 fused backbone's counts/top-1 exactly under the same
+        # gumbel seed (agreement 1.0 measured at round 2).
+        from count_pipnet_tpu.models.quantized import fused_convnext_apply
+
+        @jax.jit
+        def _infer_bf16(params, x, seed):
+            feats = fused_convnext_apply(params["backbone"], x,
+                                         stride_threshold=100, num_stages=7)
+            counts = gumbel_hard_counts(feats, seed)
+            clamped = jnp.clip(jnp.round(counts), 0.0, 3.0)
+            enc = create_modified_encoding(clamped, 3)
+            enc = enc.reshape(enc.shape[0], -1)
+            w = params["classification"]["weight"]
+            return clamped, enc @ jax.nn.relu(w).T
+
+        small = x[:32]
+        c_q, o_q = jax.device_get(_infer_seeded(params, small, 9))
+        c_r, o_r = jax.device_get(_infer_bf16(params, small, 9))
+        count_agree = float(np.mean(c_q == c_r))
+        top1_agree = float(np.mean(o_q.argmax(-1) == o_r.argmax(-1)))
+        assert count_agree > 0.99 and top1_agree > 0.99, (
+            f"int8 path diverged: counts {count_agree}, top1 {top1_agree}")
+
     imgs_per_sec = batch * iters / dt
     print(json.dumps({
         "metric": "count_pipnet_inference_throughput",
