@@ -96,6 +96,11 @@ def build_parser() -> argparse.ArgumentParser:
         help="run the photometric two-view augmentation (color jitter + "
              "crop + noise + normalize) on device instead of host CPU; "
              "supported for the synthetic shapes/mnist recipes")
+    add("--fused_whole_blocks", action="store_true",
+        help="run ENTIRE ConvNeXt blocks (dwconv included) through the "
+             "whole-block Pallas kernel with an XLA-recompute backward; "
+             "supersedes --fused_blocks when both are set. Same param "
+             "tree — checkpoints interchange")
     add("--fused_blocks", action="store_true",
         help="run ConvNeXt block bodies through the differentiable fused "
              "Pallas kernel (tanh-approx GELU; Pallas forward + "

@@ -69,6 +69,19 @@ class _DenseParams(nn.Module):
         return k, b
 
 
+class _ConvParams(nn.Module):
+    """Parameter-only Conv scope (same tree as nn.Conv)."""
+
+    kernel_shape: tuple
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", trunc_normal_02, self.kernel_shape)
+        b = self.param("bias", nn.initializers.zeros, (self.features,))
+        return k, b
+
+
 class CNBlock(nn.Module):
     """ConvNeXt block: dw-conv7x7 -> LN -> Dense 4d -> GELU -> Dense d,
     layer-scale, stochastic depth, residual.
@@ -84,9 +97,35 @@ class CNBlock(nn.Module):
     layer_scale_init: float = 1e-6
     dtype: Any = jnp.float32
     fused_mlp: bool = False
+    fused_whole_block: bool = False
 
     @nn.compact
     def __call__(self, x, *, deterministic: bool = True):
+        if self.fused_whole_block:
+            # Whole-block Pallas forward (dwconv included — its output and
+            # the 4C intermediate never touch HBM), XLA-recompute backward
+            # (ops/pallas/fused_block.fused_block_ad). Same param tree as
+            # the standard path — checkpoints interchange.
+            from ..ops.pallas.fused_block import fused_block_ad
+            dwk, dwb = _ConvParams((7, 7, 1, self.dim), self.dim,
+                                   name="dwconv")()
+            gamma = self.param(
+                "layer_scale",
+                nn.initializers.constant(self.layer_scale_init),
+                (self.dim,))
+            ls, lb = _LNParams(self.dim, name="norm")()
+            w1, b1 = _DenseParams(self.dim, 4 * self.dim, name="pw1")()
+            w2, b2 = _DenseParams(4 * self.dim, self.dim, name="pw2")()
+            use_pallas = jax.devices()[0].platform not in ("cpu",)
+            z = fused_block_ad(x, dwk, dwb, ls, lb, w1, b1, w2, b2,
+                               gamma, 1e-6, use_pallas)
+            if self.sd_prob > 0.0 and not deterministic:
+                keep = 1.0 - self.sd_prob
+                rng = self.make_rng("droppath")
+                mask = jax.random.bernoulli(rng, keep,
+                                            (z.shape[0], 1, 1, 1))
+                z = x + (z - x) * mask.astype(z.dtype) / keep
+            return z
         h = nn.Conv(
             self.dim, (7, 7), padding=3, feature_group_count=self.dim,
             dtype=self.dtype, kernel_init=trunc_normal_02, name="dwconv",
@@ -177,6 +216,7 @@ class ConvNeXtFeatures(nn.Module):
     stochastic_depth_prob: float = 0.1
     dtype: Any = jnp.float32
     fused_mlp: bool = False
+    fused_whole_block: bool = False
 
     @property
     def out_channels(self) -> int:
@@ -221,6 +261,7 @@ class ConvNeXtFeatures(nn.Module):
                 h = CNBlock(
                     dim, sd_prob=prob, dtype=self.dtype,
                     fused_mlp=self.fused_mlp,
+                    fused_whole_block=self.fused_whole_block,
                     name=f"{stage_name}_block_{j}",
                 )(h, deterministic=deterministic)
                 block_id += 1
@@ -230,23 +271,27 @@ class ConvNeXtFeatures(nn.Module):
 
 def convnext_tiny_26_features(num_stages: int = 7, dtype=jnp.float32,
                               stochastic_depth_prob: float = 0.1,
-                              fused_mlp: bool = False):
+                              fused_mlp: bool = False,
+                              fused_whole_block: bool = False):
     """Stride threshold 100 -> 26x26 latent at 224 input
     (reference convnext_features.py:38-65)."""
     return ConvNeXtFeatures(
         stride_threshold=100, num_stages=num_stages, dtype=dtype,
         stochastic_depth_prob=stochastic_depth_prob, fused_mlp=fused_mlp,
+        fused_whole_block=fused_whole_block,
     )
 
 
 def convnext_tiny_13_features(num_stages: int = 7, dtype=jnp.float32,
                               stochastic_depth_prob: float = 0.1,
-                              fused_mlp: bool = False):
+                              fused_mlp: bool = False,
+                              fused_whole_block: bool = False):
     """Stride threshold 300 -> 13x13 latent at 224 input
     (reference convnext_features.py:67-94)."""
     return ConvNeXtFeatures(
         stride_threshold=300, num_stages=num_stages, dtype=dtype,
         stochastic_depth_prob=stochastic_depth_prob, fused_mlp=fused_mlp,
+        fused_whole_block=fused_whole_block,
     )
 
 

@@ -50,7 +50,8 @@ BACKBONE_BUILDERS = {
 
 def build_backbone(net: str, use_mid_layers: bool = False,
                    num_stages: int = 2, dtype=jnp.float32,
-                   fused_mlp: bool = False):
+                   fused_mlp: bool = False,
+                   fused_whole_block: bool = False):
     """Backbone factory mirroring the reference's architecture dicts
     (pipnet/pipnet.py:44-51, count_pipnet.py:171-174)."""
     if net not in BACKBONE_BUILDERS:
@@ -60,7 +61,8 @@ def build_backbone(net: str, use_mid_layers: bool = False,
     if net.startswith("convnext"):
         stages = num_stages if use_mid_layers else 7
         return BACKBONE_BUILDERS[net](num_stages=stages, dtype=dtype,
-                                      fused_mlp=fused_mlp)
+                                      fused_mlp=fused_mlp,
+                                      fused_whole_block=fused_whole_block)
     return BACKBONE_BUILDERS[net](dtype=dtype)
 
 
@@ -188,7 +190,8 @@ def get_pipnet(num_classes: int, args, dtype=jnp.float32):
     backbone = build_backbone(
         args.net, use_mid_layers=getattr(args, "use_mid_layers", False),
         num_stages=getattr(args, "num_stages", 2), dtype=dtype,
-        fused_mlp=getattr(args, "fused_blocks", False))
+        fused_mlp=getattr(args, "fused_blocks", False),
+        fused_whole_block=getattr(args, "fused_whole_blocks", False))
     num_prototypes = _infer_num_prototypes(args.net, args, backbone)
     model = PIPNet(
         num_classes=num_classes, num_prototypes=num_prototypes,
@@ -212,7 +215,8 @@ def get_count_network(num_classes: int, args, max_count: int = 3,
     backbone = build_backbone(
         args.net, use_mid_layers=getattr(args, "use_mid_layers", False),
         num_stages=getattr(args, "num_stages", 2), dtype=dtype,
-        fused_mlp=getattr(args, "fused_blocks", False))
+        fused_mlp=getattr(args, "fused_blocks", False),
+        fused_whole_block=getattr(args, "fused_whole_blocks", False))
     num_prototypes = _infer_num_prototypes(args.net, args, backbone)
     model = CountPIPNet(
         num_classes=num_classes, num_prototypes=num_prototypes,

@@ -41,7 +41,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["fused_block_apply", "quantize_block_weights"]
+__all__ = ["fused_block_apply", "quantize_block_weights",
+           "fused_block_ad"]
 
 K = 7
 PAD = 3
@@ -209,3 +210,70 @@ def fused_block_apply(x, h, w, dw_kernel, dw_bias, ln_scale, ln_bias,
             dimension_semantics=("parallel",)),
         interpret=interpret,
     )(*args)
+
+
+# ---------------------------------------------------------------------------
+# Differentiable wrapper: whole-block Pallas forward, XLA-recompute backward
+# ---------------------------------------------------------------------------
+def _block_body_xla(x4, dw_kernel, dw_bias, ln_scale, ln_bias, w1, b1, w2,
+                    b2, gamma, eps):
+    """XLA reference of the whole block on NHWC (tanh-GELU + the same
+    bf16 GEMM casts as the kernel) — used for the backward recompute and
+    the CPU fallback. Nothing wider than [B,H,W,C] is saved: the VJP
+    recomputes the dwconv output and the 4C intermediate (remat-style)."""
+    x32 = x4.astype(jnp.float32)
+    d = jax.lax.conv_general_dilated(
+        x32, jnp.asarray(dw_kernel, jnp.float32),
+        window_strides=(1, 1), padding=((PAD, PAD), (PAD, PAD)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=x4.shape[-1])
+    d = d + jnp.asarray(dw_bias, jnp.float32)
+    mu = jnp.mean(d, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(d - mu), axis=-1, keepdims=True)
+    n = (d - mu) * jax.lax.rsqrt(var + eps)
+    n = n * ln_scale.astype(jnp.float32) + ln_bias.astype(jnp.float32)
+    h = n.astype(jnp.bfloat16) @ w1.astype(jnp.bfloat16)
+    h = h.astype(jnp.float32) + b1.astype(jnp.float32)
+    a = jax.nn.gelu(h, approximate=True)
+    y = a.astype(jnp.bfloat16) @ w2.astype(jnp.bfloat16)
+    y = y.astype(jnp.float32) + b2.astype(jnp.float32)
+    return (x32 + y * gamma.astype(jnp.float32)).astype(x4.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(10, 11))
+def fused_block_ad(x4, dw_kernel, dw_bias, ln_scale, ln_bias, w1, b1, w2,
+                   b2, gamma, eps=1e-6, use_pallas=True):
+    """Differentiable WHOLE ConvNeXt block on NHWC input: one Pallas
+    kernel forward (dwconv + LN + MLP + layer-scale + residual — the
+    dwconv output and 4C intermediate never touch HBM), backward by
+    recomputation through the XLA body. Training-capable counterpart of
+    :func:`fused_block_apply` (bf16 mode; quantization is serving-only).
+    """
+    if not use_pallas:
+        return _block_body_xla(x4, dw_kernel, dw_bias, ln_scale, ln_bias,
+                               w1, b1, w2, b2, gamma, eps)
+    b, h, w, c = x4.shape
+    out = fused_block_apply(
+        x4.reshape(b, h * w, c), h, w, dw_kernel, dw_bias, ln_scale,
+        ln_bias, w1, b1, w2, b2, gamma, int8=False, eps=eps)
+    return out.reshape(b, h, w, c)
+
+
+def _block_ad_fwd(x4, dw_kernel, dw_bias, ln_scale, ln_bias, w1, b1, w2,
+                  b2, gamma, eps, use_pallas):
+    out = fused_block_ad(x4, dw_kernel, dw_bias, ln_scale, ln_bias, w1,
+                         b1, w2, b2, gamma, eps, use_pallas)
+    return out, (x4, dw_kernel, dw_bias, ln_scale, ln_bias, w1, b1, w2,
+                 b2, gamma)
+
+
+def _block_ad_bwd(eps, use_pallas, res, g):
+    (x4, dw_kernel, dw_bias, ln_scale, ln_bias, w1, b1, w2, b2,
+     gamma) = res
+    _, vjp_fn = jax.vjp(
+        lambda *a: _block_body_xla(*a, eps), x4, dw_kernel, dw_bias,
+        ln_scale, ln_bias, w1, b1, w2, b2, gamma)
+    return vjp_fn(g)
+
+
+fused_block_ad.defvjp(_block_ad_fwd, _block_ad_bwd)

@@ -101,3 +101,83 @@ class TestFusedBackboneModule:
         restored = serialization.msgpack_restore(blob)
         y = m_fused.apply({"params": restored}, x)
         assert jnp.all(jnp.isfinite(y))
+
+
+class TestWholeBlockModule:
+    """Whole-block differentiable path (fused_whole_block: Pallas fwd +
+    XLA-recompute bwd through ops/pallas/fused_block.fused_block_ad)."""
+
+    def test_param_tree_identical(self):
+        x = jnp.zeros((1, 32, 32, 3))
+        m_std = convnext_tiny_26_features(num_stages=3)
+        m_wb = convnext_tiny_26_features(num_stages=3,
+                                         fused_whole_block=True)
+        p_std = m_std.init({"params": jax.random.PRNGKey(0)}, x)["params"]
+        p_wb = m_wb.init({"params": jax.random.PRNGKey(0)}, x)["params"]
+        shapes = lambda t: jax.tree_util.tree_map(jnp.shape, t)
+        assert shapes(p_std) == shapes(p_wb)
+        # identical init values too (same param paths + initializers)
+        for a, b in zip(jax.tree_util.tree_leaves(p_std),
+                        jax.tree_util.tree_leaves(p_wb)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+    def test_forward_close_and_grads_match(self):
+        x = jax.random.uniform(jax.random.PRNGKey(1), (2, 32, 32, 3))
+        m_std = convnext_tiny_26_features(num_stages=2)
+        m_wb = convnext_tiny_26_features(num_stages=2,
+                                         fused_whole_block=True)
+        params = m_std.init({"params": jax.random.PRNGKey(0)}, x)["params"]
+
+        y_std = m_std.apply({"params": params}, x)
+        y_wb = m_wb.apply({"params": params}, x)
+        rel = float(jnp.linalg.norm(y_wb - y_std)
+                    / jnp.linalg.norm(y_std))
+        assert rel < 5e-3  # tanh vs exact GELU
+
+        def loss(m):
+            return lambda p: jnp.sum(m.apply({"params": p}, x) ** 2)
+
+        g_wb = jax.grad(loss(m_wb))(params)
+        g_std = jax.grad(loss(m_std))(params)
+        # dwconv gradient now flows through the custom VJP recompute
+        for path in (("features_1_block_0", "dwconv", "kernel"),
+                     ("features_1_block_0", "pw1", "kernel"),
+                     ("features_1_block_0", "norm", "scale")):
+            a = g_wb
+            b = g_std
+            for k in path:
+                a, b = a[k], b[k]
+            a, b = np.asarray(a), np.asarray(b)
+            assert np.all(np.isfinite(a))
+            scale = np.abs(b).max() + 1e-9
+            np.testing.assert_allclose(a / scale, b / scale, atol=2e-2)
+
+    def test_pallas_forward_matches_xla_interpret(self):
+        """fused_block_ad's Pallas forward (interpret mode) == its own XLA
+        backward-recompute body."""
+        from count_pipnet_tpu.ops.pallas.fused_block import (
+            fused_block_ad, _block_body_xla, fused_block_apply,
+        )
+        rng = np.random.default_rng(3)
+        b, h, w, c = 2, 9, 9, 128
+        x4 = jnp.asarray(rng.normal(size=(b, h, w, c)).astype(np.float32))
+        dwk = jnp.asarray(rng.normal(size=(7, 7, 1, c)).astype(np.float32)
+                          * 0.1)
+        dwb = jnp.asarray(rng.normal(size=(c,)).astype(np.float32) * 0.1)
+        ls = jnp.ones((c,)) + 0.1
+        lb = jnp.zeros((c,))
+        w1 = jnp.asarray(rng.normal(size=(c, 4 * c)).astype(np.float32)
+                         * 0.05)
+        b1 = jnp.zeros((4 * c,))
+        w2 = jnp.asarray(rng.normal(size=(4 * c, c)).astype(np.float32)
+                         * 0.05)
+        b2 = jnp.zeros((c,))
+        g = jnp.full((c,), 0.3)
+        ref = _block_body_xla(x4, dwk, dwb, ls, lb, w1, b1, w2, b2, g,
+                              1e-6)
+        got = fused_block_apply(
+            x4.reshape(b, h * w, c), h, w, dwk, dwb, ls, lb, w1, b1, w2,
+            b2, g, interpret=True).reshape(b, h, w, c)
+        scale = float(jnp.abs(ref).max())
+        np.testing.assert_allclose(np.asarray(got) / scale,
+                                   np.asarray(ref) / scale, atol=3e-3)
