@@ -180,8 +180,26 @@ def fused_block_convnext_apply(params: Dict, x, *,
             stride = 1 if in_ch > stride_threshold else 2
             hn = _layer_norm(h, ds["norm"]["scale"], ds["norm"]["bias"]) \
                 .astype(dtype)
-            h = _conv(hn, ds["conv"]["kernel"], ds["conv"]["bias"], stride,
-                      dtype)
+            if stride == 1 and in_ch >= int8_min_dim:
+                # Wide stride-1 downsample (stage3->4 after stride
+                # surgery): 2x2 im2col + int8 GEMM (K=4*in_ch) — XLA's
+                # bf16 conv runs this at 62 TF/s, the int8 kernel ~200.
+                from ..ops.pallas.int8_gemm import int8_quant_gemm
+                bsz, ih, iw, _ = hn.shape
+                cols = jnp.concatenate(
+                    [hn[:, :-1, :-1], hn[:, :-1, 1:],
+                     hn[:, 1:, :-1], hn[:, 1:, 1:]], axis=-1)
+                ho, wo = ih - 1, iw - 1
+                kmat = jnp.asarray(ds["conv"]["kernel"], jnp.float32) \
+                    .reshape(4 * in_ch, dim)
+                y = int8_quant_gemm(
+                    cols.reshape(bsz * ho * wo, 4 * in_ch), kmat,
+                    bias=ds["conv"]["bias"], out_dtype=dtype,
+                    interpret=interpret)
+                h = y.reshape(bsz, ho, wo, dim)
+            else:
+                h = _conv(hn, ds["conv"]["kernel"], ds["conv"]["bias"],
+                          stride, dtype)
             feat_idx += 1
         if feat_idx > num_stages:
             break

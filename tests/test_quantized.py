@@ -185,3 +185,38 @@ class TestFusedBlockKernel:
         scale = float(jnp.max(jnp.abs(ref))) + 1e-9
         np.testing.assert_allclose(np.asarray(got) / scale,
                                    np.asarray(ref) / scale, atol=5e-3)
+
+
+class TestInt8Gemm:
+    def test_matches_float_gemm(self):
+        from count_pipnet_tpu.ops.pallas.int8_gemm import int8_quant_gemm
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.normal(size=(70, 64)).astype(np.float32))
+        w = jnp.asarray(rng.normal(size=(64, 48)).astype(np.float32) * 0.1)
+        b = jnp.asarray(rng.normal(size=(48,)).astype(np.float32) * 0.1)
+        ref = np.asarray(x @ w + b)
+        got = np.asarray(int8_quant_gemm(x, w, bias=b, row_tile=16,
+                                         interpret=True))
+        scale = np.abs(ref).max()
+        np.testing.assert_allclose(got / scale, ref / scale, atol=2e-2)
+
+    def test_int8_downsample_path_matches_conv(self):
+        """The stride-1 2x2 im2col + int8 GEMM downsample equals the XLA
+        conv (models/quantized.py fused_block_convnext_apply ds branch)."""
+        from count_pipnet_tpu.ops.pallas.int8_gemm import int8_quant_gemm
+        from count_pipnet_tpu.models.quantized import _conv
+        rng = np.random.default_rng(1)
+        b, h, w, cin, cout = 2, 9, 9, 32, 48
+        hn = jnp.asarray(rng.normal(size=(b, h, w, cin)).astype(np.float32))
+        kern = jnp.asarray(rng.normal(size=(2, 2, cin, cout))
+                           .astype(np.float32) * 0.1)
+        bias = jnp.asarray(rng.normal(size=(cout,)).astype(np.float32))
+        ref = np.asarray(_conv(hn, kern, bias, 1, jnp.float32))
+        cols = jnp.concatenate([hn[:, :-1, :-1], hn[:, :-1, 1:],
+                                hn[:, 1:, :-1], hn[:, 1:, 1:]], axis=-1)
+        got = np.asarray(int8_quant_gemm(
+            cols.reshape(b * (h - 1) * (w - 1), 4 * cin),
+            kern.reshape(4 * cin, cout), bias=bias, row_tile=32,
+            interpret=True)).reshape(b, h - 1, w - 1, cout)
+        scale = np.abs(ref).max()
+        np.testing.assert_allclose(got / scale, ref / scale, atol=2e-2)
