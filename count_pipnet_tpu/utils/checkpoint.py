@@ -59,11 +59,60 @@ def _save_file(path: str, tree: Dict[str, Any], meta: Dict[str, Any]):
         json.dump(meta, f)
 
 
-def _load_file(path: str, target=None):
+def _graft(target, saved):
+    """Partial restore: copy saved leaves onto the target tree wherever
+    the path exists in both and shapes match; keep the target's fresh
+    init elsewhere. The selective-loading semantic the reference uses for
+    shared pretrained backbones (util/selective_loading.py:35-162) — e.g.
+    an onehot-pretrained checkpoint (parameterless intermediate) loading
+    into a linear/bilinear model whose intermediate stays fresh-init.
+
+    Returns (tree, loaded_count, skipped_count)."""
+    loaded = skipped = 0
+
+    def count_leaves(v):
+        return len(_flatten(v)) if isinstance(v, dict) else 1
+
+    def rec(t, s):
+        nonlocal loaded, skipped
+        if isinstance(t, dict):
+            if not isinstance(s, dict):
+                skipped += count_leaves(t)
+                return t
+            out = {}
+            for k, v in t.items():
+                if k in s:
+                    out[k] = rec(v, s[k])
+                else:
+                    skipped += count_leaves(v)
+                    out[k] = v
+            return out
+        # leaf: accept only shape-compatible array leaves
+        if hasattr(s, "shape") and getattr(t, "shape", None) == s.shape:
+            loaded += 1
+            return s
+        skipped += 1
+        return t
+
+    return rec(target, saved), loaded, skipped
+
+
+def _load_file(path: str, target=None, partial: bool = False):
     with open(path, "rb") as f:
         tree = serialization.msgpack_restore(f.read())
     if target is not None:
-        tree = serialization.from_state_dict(target, tree)
+        if partial:
+            try:
+                tree = serialization.from_state_dict(target, tree)
+            except ValueError:
+                saved = tree
+                tree, loaded, skipped = _graft(target, saved)
+                print(f"Partial checkpoint restore: {loaded} leaves "
+                      f"loaded, {skipped} kept at fresh init "
+                      f"(tree mismatch — e.g. different intermediate "
+                      f"layer)", flush=True)
+        else:
+            tree = serialization.from_state_dict(target, tree)
     meta = {}
     if os.path.exists(path + ".json"):
         with open(path + ".json") as f:
@@ -156,13 +205,13 @@ class CheckpointManager:
                 path = cand if os.path.exists(cand) else None
             if path:
                 print(f"Loading pretrained checkpoint: {path}", flush=True)
-                return _load_file(path, target_state)
+                return _load_file(path, target_state, partial=True)
             return None
         path = self._find([f"net_pretrained_{self.hash}"])
         if path:
             print(f"Found hash-matched pretrained checkpoint: {path}",
                   flush=True)
-            return _load_file(path, target_state)
+            return _load_file(path, target_state, partial=True)
         return None
 
     def load_trained_checkpoint(self, target_state=None,

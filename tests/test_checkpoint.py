@@ -141,3 +141,55 @@ class TestLog:
         content = (tmp_path / "run/metrics.csv").read_text().splitlines()
         assert content[0] == "epoch,a,b"
         assert content[1] == "1,0.5,0.7"
+
+
+class TestPartialPretrainedRestore:
+    def test_cross_intermediate_graft(self, tmp_path):
+        """An onehot-pretrained checkpoint (no 'intermediate' params) must
+        load into a linear-intermediate model: shared keys restored, the
+        intermediate kept at fresh init (the run_multiple_configs
+        cross-variant sharing path; reference selective_loading.py)."""
+        args = Args(str(tmp_path / "run"))
+        Log(args.log_dir)
+        cm = CheckpointManager(args)
+        saved = fake_params(scale=7.0)
+        cm.save_pretrained_checkpoint(saved)
+
+        target_params = fake_params(scale=1.0)
+        target_params["intermediate"] = {
+            "embed": np.zeros((8, 4), np.float32)}
+        target = {"params": target_params, "batch_stats": {},
+                  "opt_state": {}}
+        res = cm.load_pretrained_checkpoint(target)
+        assert res is not None
+        state, _ = res
+        # shared leaves restored from the checkpoint
+        np.testing.assert_allclose(
+            state["params"]["classification"]["weight"],
+            saved["classification"]["weight"])
+        # intermediate kept at the model's fresh init
+        np.testing.assert_allclose(
+            state["params"]["intermediate"]["embed"],
+            target_params["intermediate"]["embed"])
+
+    def test_shape_mismatch_leaf_kept(self, tmp_path):
+        args = Args(str(tmp_path / "run2"))
+        Log(args.log_dir)
+        cm = CheckpointManager(args)
+        saved = fake_params(scale=3.0)
+        cm.save_pretrained_checkpoint(saved)
+        target_params = fake_params(scale=1.0)
+        # different classifier width AND an extra subtree -> graft path
+        target_params["classification"]["weight"] = \
+            np.ones((5, 24), np.float32)
+        target_params["intermediate"] = {
+            "embed": np.zeros((8, 4), np.float32)}
+        target = {"params": target_params, "batch_stats": {},
+                  "opt_state": {}}
+        state, _ = cm.load_pretrained_checkpoint(target)
+        np.testing.assert_allclose(
+            state["params"]["classification"]["weight"],
+            target_params["classification"]["weight"])
+        np.testing.assert_allclose(
+            state["params"]["backbone"]["features_0"]["conv"]["kernel"],
+            saved["backbone"]["features_0"]["conv"]["kernel"])
