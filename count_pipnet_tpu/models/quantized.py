@@ -155,6 +155,7 @@ def fused_block_convnext_apply(params: Dict, x, *,
                                stage_settings=CONVNEXT_TINY_STAGES,
                                dtype=jnp.bfloat16,
                                int8_min_dim: int = 384,
+                               dw_bf16: bool = False,
                                interpret: bool = False):
     """Serving forward with ONE Pallas kernel per ConvNeXt block
     (ops/pallas/fused_block.py: dwconv + LN + MLP + layer-scale +
@@ -214,7 +215,7 @@ def fused_block_convnext_apply(params: Dict, x, *,
                 blk["norm"]["bias"], blk["pw1"]["kernel"],
                 blk["pw1"]["bias"], blk["pw2"]["kernel"],
                 blk["pw2"]["bias"], blk["layer_scale"],
-                int8=use_int8, interpret=interpret)
+                int8=use_int8, dw_bf16=dw_bf16, interpret=interpret)
         h = flat.reshape(b, hh, ww, c)
         feat_idx += 1
     return h

@@ -48,37 +48,42 @@ K = 7
 PAD = 3
 
 
-def _dwconv_flat(x, wk, bias, h, w):
-    """Depthwise 7x7 on a flattened [HW, C] plane (f32 in/out).
+def _dwconv_flat(x, wk, bias, h, w, tap_dtype=jnp.float32):
+    """Depthwise 7x7 on a flattened [HW, C] plane (f32 out).
 
-    wk: [49, C] f32; bias [1, C].
+    wk: [49, C] f32; bias [1, C]. ``tap_dtype=bfloat16`` runs the 49 tap
+    FMAs and 14 rolls in bf16 (half the VPU shuffle/FMA traffic; the
+    per-dx partial sums are then accumulated in f32) — the dwconv is
+    ~half of a wide block's kernel time at f32.
     """
     hw = h * w
     row = jax.lax.broadcasted_iota(jnp.int32, (hw, 1), 0) // w
     col = jax.lax.broadcasted_iota(jnp.int32, (hw, 1), 0) % w
 
+    xt = x.astype(tap_dtype)
+    wt = wk.astype(tap_dtype)
     # vertical shifts hoisted out of the dx loop: 7 rolls + 7 row masks
     # total (not 49), then the 49 FMAs below are the mathematical minimum.
     xds = []
     for dy in range(K):
         sh = (dy - PAD) * w
-        xd = pltpu.roll(x, (-sh) % hw, axis=0) if sh else x
+        xd = pltpu.roll(xt, (-sh) % hw, axis=0) if sh else xt
         rmask = jnp.logical_and(row + (dy - PAD) >= 0,
                                 row + (dy - PAD) < h)
-        xds.append(jnp.where(rmask, xd, 0.0))
+        xds.append(jnp.where(rmask, xd, jnp.zeros((), tap_dtype)))
 
     acc = jnp.broadcast_to(bias.astype(jnp.float32), (hw, x.shape[-1]))
     for dx in range(K):
         vs = None
         for dy in range(K):
-            t = xds[dy] * wk[dy * K + dx]
+            t = xds[dy] * wt[dy * K + dx]
             vs = t if vs is None else vs + t
         sd = dx - PAD
         if sd:
             vs = pltpu.roll(vs, (-sd) % hw, axis=0)
             cmask = jnp.logical_and(col + sd >= 0, col + sd < w)
-            vs = jnp.where(cmask, vs, 0.0)
-        acc = acc + vs
+            vs = jnp.where(cmask, vs, jnp.zeros((), tap_dtype))
+        acc = acc + vs.astype(jnp.float32)
     return acc
 
 
@@ -95,9 +100,10 @@ def _quant_rows(x):
 
 
 def _kernel_bf16(x_ref, dwk_ref, dwb_ref, lns_ref, lnb_ref, w1_ref, b1_ref,
-                 w2_ref, b2_ref, g_ref, out_ref, *, h, w, eps):
+                 w2_ref, b2_ref, g_ref, out_ref, *, h, w, eps, tap_dtype):
     x32 = x_ref[0].astype(jnp.float32)
-    d = _dwconv_flat(x32, dwk_ref[:], dwb_ref[:], h, w)
+    d = _dwconv_flat(x32, dwk_ref[:], dwb_ref[:], h, w,
+                     tap_dtype=tap_dtype)
     n = _layer_norm_rows(d, lns_ref[:], lnb_ref[:], eps)
     hid = jnp.dot(n.astype(jnp.bfloat16), w1_ref[:],
                   preferred_element_type=jnp.float32) + b1_ref[:]
@@ -109,9 +115,10 @@ def _kernel_bf16(x_ref, dwk_ref, dwb_ref, lns_ref, lnb_ref, w1_ref, b1_ref,
 
 def _kernel_int8(x_ref, dwk_ref, dwb_ref, lns_ref, lnb_ref, w1_ref, s1_ref,
                  b1_ref, w2_ref, s2_ref, b2_ref, g_ref, out_ref,
-                 *, h, w, eps):
+                 *, h, w, eps, tap_dtype):
     x32 = x_ref[0].astype(jnp.float32)
-    d = _dwconv_flat(x32, dwk_ref[:], dwb_ref[:], h, w)
+    d = _dwconv_flat(x32, dwk_ref[:], dwb_ref[:], h, w,
+                     tap_dtype=tap_dtype)
     n = _layer_norm_rows(d, lns_ref[:], lnb_ref[:], eps)
     nq, nsc = _quant_rows(n)
     hid = jnp.dot(nq, w1_ref[:], preferred_element_type=jnp.int32)
@@ -135,7 +142,8 @@ def quantize_block_weights(kernel):
 
 def fused_block_apply(x, h, w, dw_kernel, dw_bias, ln_scale, ln_bias,
                       w1, b1, w2, b2, gamma, *, int8: bool = False,
-                      eps: float = 1e-6, interpret: bool = False):
+                      dw_bf16: bool = False, eps: float = 1e-6,
+                      interpret: bool = False):
     """Whole ConvNeXt block on flattened planes.
 
     Args:
@@ -175,7 +183,9 @@ def fused_block_apply(x, h, w, dw_kernel, dw_bias, ln_scale, ln_bias,
     if int8:
         w1q, s1 = quantize_block_weights(w1)
         w2q, s2 = quantize_block_weights(w2)
-        kern = functools.partial(_kernel_int8, h=h, w=w, eps=eps)
+        kern = functools.partial(
+            _kernel_int8, h=h, w=w, eps=eps,
+            tap_dtype=jnp.bfloat16 if dw_bf16 else jnp.float32)
         in_specs = common_in + small + [
             pl.BlockSpec((c, hdim), rep, memory_space=space),
             pl.BlockSpec((1, hdim), rep, memory_space=space),
@@ -188,7 +198,9 @@ def fused_block_apply(x, h, w, dw_kernel, dw_bias, ln_scale, ln_bias,
         args += [w1q, s1, vec(b1, hdim), w2q, s2, vec(b2, c),
                  vec(gamma, c)]
     else:
-        kern = functools.partial(_kernel_bf16, h=h, w=w, eps=eps)
+        kern = functools.partial(
+            _kernel_bf16, h=h, w=w, eps=eps,
+            tap_dtype=jnp.bfloat16 if dw_bf16 else jnp.float32)
         in_specs = common_in + small + [
             pl.BlockSpec((c, hdim), rep, memory_space=space),
             pl.BlockSpec((1, hdim), rep, memory_space=space),

@@ -220,3 +220,19 @@ class TestInt8Gemm:
             interpret=True)).reshape(b, h - 1, w - 1, cout)
         scale = np.abs(ref).max()
         np.testing.assert_allclose(got / scale, ref / scale, atol=2e-2)
+
+
+class TestDwBf16Taps:
+    def test_dw_bf16_taps_close(self):
+        """bf16 tap math stays within bf16-grade tolerance of f32."""
+        from count_pipnet_tpu.ops.pallas.fused_block import \
+            fused_block_apply
+        x4, *ps = TestFusedBlockKernel._mk(TestFusedBlockKernel(), seed=2)
+        b, h, w, c = x4.shape
+        f32 = np.asarray(fused_block_apply(
+            x4.reshape(b, h * w, c), h, w, *ps, interpret=True))
+        bf16 = np.asarray(fused_block_apply(
+            x4.reshape(b, h * w, c), h, w, *ps, dw_bf16=True,
+            interpret=True))
+        scale = np.abs(f32).max()
+        np.testing.assert_allclose(bf16 / scale, f32 / scale, atol=3e-2)
