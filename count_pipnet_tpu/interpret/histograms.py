@@ -132,8 +132,12 @@ def plot_prototype_activations_by_class(
         trainer, loader, num_classes, out_dir, args, *,
         histogram_type="per-class", return_type="mean_values",
         filter_outlier_prototypes=True, max_images=MAX_IMAGES,
-        class_names=None):
+        class_names=None, export_pdf=False):
     """Per-prototype class-conditional histograms + heatmap + zero report.
+
+    ``export_pdf`` additionally writes each figure as a PDF (the
+    reference exported PDF via plotly's orca engine, histograms.py:916;
+    here it is plain matplotlib).
 
     Returns per-class mean activations and/or non-zero counts keyed like
     the reference (histograms.py:936-943).
@@ -203,6 +207,8 @@ def plot_prototype_activations_by_class(
         fig.tight_layout()
         fname = f"hist_p{p}.png"
         fig.savefig(os.path.join(out_dir, fname), dpi=110)
+        if export_pdf:
+            fig.savefig(os.path.join(out_dir, f"hist_p{p}.pdf"))
         plt.close(fig)
         html_entries.append(f'<h3>Prototype {p}</h3><img src="{fname}">')
 
