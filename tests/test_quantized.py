@@ -236,3 +236,28 @@ class TestDwBf16Taps:
             interpret=True))
         scale = np.abs(f32).max()
         np.testing.assert_allclose(bf16 / scale, f32 / scale, atol=3e-2)
+
+
+class TestDownsampleInt8Branch:
+    def test_backbone_with_ds_int8_close_to_flax(self):
+        """int8_min_dim low enough to trigger the im2col int8 downsample
+        (stride-1 ds2 at num_stages=4) inside the full serving forward."""
+        from count_pipnet_tpu.models.quantized import \
+            fused_block_convnext_apply
+
+        class A(Args):
+            num_stages = 4
+
+        model, _ = get_count_network(3, A, max_count=3, use_ste=True)
+        x = jax.random.uniform(jax.random.PRNGKey(0), (1, 32, 32, 3))
+        params = model.init({"params": jax.random.PRNGKey(1)}, x)["params"]
+        bb = model.backbone
+        ref = bb.apply({"params": params["backbone"]}, x,
+                       deterministic=True)
+        got = fused_block_convnext_apply(
+            params["backbone"], x, stride_threshold=bb.stride_threshold,
+            num_stages=bb.num_stages, stage_settings=bb.stage_settings,
+            dtype=jnp.float32, int8_min_dim=96, interpret=True)
+        scale = float(jnp.max(jnp.abs(ref))) + 1e-9
+        np.testing.assert_allclose(np.asarray(got) / scale,
+                                   np.asarray(ref) / scale, atol=3e-2)
