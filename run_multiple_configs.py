@@ -6,9 +6,16 @@ sequentially in-process, sharing pretrained backbones across runs keyed by
 dirs (:160-163), ``--continue_on_error`` (:303-311), and a final
 ``summary.json`` with per-run status and wall-clock (:342-346).
 
+By default each run executes in a SUBPROCESS (``--in_process`` to opt
+out): the remote-TPU client leaks host memory on every host->device
+transfer (~29 MB/batch measured), so a long in-process sweep eventually
+OOMs the host; per-run isolation bounds the leak and also isolates
+crashes. Pretrained-backbone sharing works across subprocesses through
+``pretrained_checkpoints_dir`` + the config-hash discovery.
+
 Usage:
     python run_multiple_configs.py --config_list config_list.json \
-        [--continue_on_error] [--log_root ./runs]
+        [--continue_on_error] [--log_root ./runs] [--in_process]
 """
 
 import argparse
@@ -40,6 +47,37 @@ def create_namespace_from_config(config_path, log_root, timestamp=None):
     return args
 
 
+def _run_in_subprocess(args):
+    """Execute one run as ``python main.py --config <temp.yaml>`` so the
+    per-transfer host-memory leak of the remote-TPU client dies with the
+    subprocess."""
+    import subprocess
+    import sys
+    import tempfile
+
+    import yaml
+
+    from count_pipnet_tpu.config import DEFAULTS
+
+    cfg = {k: v for k, v in vars(args).items()
+           if k in DEFAULTS and v != DEFAULTS[k] and k != "config"}
+    cfg["log_dir"] = args.log_dir
+    with tempfile.NamedTemporaryFile(
+            "w", suffix=".yaml", delete=False) as f:
+        yaml.safe_dump(cfg, f)
+        tmp = f.name
+    main_py = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "main.py")
+    try:
+        res = subprocess.run([sys.executable, main_py, "--config", tmp])
+        if res.returncode != 0:
+            raise RuntimeError(
+                f"run failed with exit code {res.returncode} "
+                f"(see {args.log_dir}/out.txt)")
+    finally:
+        os.unlink(tmp)
+
+
 def run_all_configs(cmd_args):
     with open(cmd_args.config_list) as f:
         config_paths = json.load(f)
@@ -69,7 +107,10 @@ def run_all_configs(cmd_args):
 
             print(f"\n===== Running {config_path} -> {args.log_dir} =====",
                   flush=True)
-            run_pipnet(args)
+            if getattr(cmd_args, "in_process", False):
+                run_pipnet(args)
+            else:
+                _run_in_subprocess(args)
 
             if key not in pretrained_cache and args.epochs_pretrain > 0:
                 pretrained_cache[key] = (args.log_dir, args)
@@ -101,6 +142,9 @@ def main():
                    help="JSON file listing YAML config paths")
     p.add_argument("--log_root", default="./runs")
     p.add_argument("--continue_on_error", action="store_true")
+    p.add_argument("--in_process", action="store_true",
+                   help="run configs in this process (legacy; leaks host "
+                        "memory per batch on the remote-TPU backend)")
     cmd_args = p.parse_args()
     run_all_configs(cmd_args)
 

@@ -27,10 +27,14 @@ def write_config(path, **over):
 
 
 class Cmd:
-    def __init__(self, config_list, log_root, continue_on_error=False):
+    def __init__(self, config_list, log_root, continue_on_error=False,
+                 in_process=True):
+        # tests run in-process so run_pipnet can be monkeypatched; real
+        # sweeps default to subprocess isolation (host-leak containment)
         self.config_list = config_list
         self.log_root = log_root
         self.continue_on_error = continue_on_error
+        self.in_process = in_process
 
 
 def test_sweep_shares_backbone_and_writes_summary(tmp_path, monkeypatch):
