@@ -216,6 +216,19 @@ class ToArray:
         return arr
 
 
+class ToUint8Array:
+    """PIL -> uint8 HWC (no host float conversion). The device-augment
+    transport format: 4x fewer bytes over the host->device link than
+    ToArray's float32, and bit-identical once the device divides by 255
+    (ToArray is exactly uint8/255)."""
+
+    def __call__(self, img, rng=None):
+        arr = np.asarray(img, dtype=np.uint8)
+        if arr.ndim == 2:
+            arr = np.stack([arr] * 3, axis=-1)
+        return arr
+
+
 class Normalize:
     def __init__(self, mean=IMAGENET_MEAN, std=IMAGENET_STD):
         self.mean = np.asarray(mean, dtype=np.float32)

@@ -78,6 +78,10 @@ def make_device_twoview_augment(cfg: DeviceAugmentConfig):
 
     @jax.jit
     def augment(key, batch):
+        if jnp.issubdtype(batch.dtype, jnp.integer):
+            # uint8 transport (data/augment.ToUint8Array): exactly
+            # ToArray's float value once divided by 255
+            batch = batch.astype(jnp.float32) / 255.0
         b = batch.shape[0]
         k1, k2 = jax.random.split(key)
         keys1 = jax.random.split(k1, b)

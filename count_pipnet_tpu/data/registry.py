@@ -215,7 +215,9 @@ def get_data(args, basepath="./"):
                   "using host augmentation)", flush=True)
     t2_host = t2
     if device_aug_cfg is not None:
-        t2 = A.Compose([A.ToArray()])  # host stops after t1 + decode
+        # host stops after t1 + decode; uint8 transport (4x fewer bytes
+        # to the device, exactly ToArray's value once divided by 255)
+        t2 = A.Compose([A.ToUint8Array()])
 
     trainval = ImageFolder(base / train_d)
     classes = trainval.classes

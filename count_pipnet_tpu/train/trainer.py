@@ -147,8 +147,12 @@ class Trainer:
         """One forward to record the latent grid size
         (reference main.py:211-218)."""
         batch = next(iter(loader))
-        xs1 = jnp.asarray(batch[0][:1], jnp.float32)
+        xs1 = jnp.asarray(batch[0][:1])  # keep dtype (uint8 transport)
         cfg = getattr(loader, "device_augment_cfg", None)
+        if cfg is None and jnp.issubdtype(xs1.dtype, jnp.integer):
+            xs1 = xs1.astype(jnp.float32) / 255.0
+        elif cfg is None:
+            xs1 = xs1.astype(jnp.float32)
         if cfg is not None:
             from ..data.device_augment import make_device_twoview_augment
             xs1, _ = make_device_twoview_augment(cfg)(
@@ -270,8 +274,10 @@ class Trainer:
 
             if dev_aug is not None:
                 xs1, ys = host_batch  # single-view host pipeline
+                # keep the loader's dtype (uint8 transport): the device
+                # converts to [0,1] float inside dev_aug
                 raw, ys_s = shard_batch(self.mesh, (
-                    np.asarray(xs1, np.float32),
+                    np.asarray(xs1),
                     np.asarray(ys, np.int32)))
                 self.rng, akey = jax.random.split(self.rng)
                 v1, v2 = dev_aug(akey, raw)
