@@ -60,3 +60,33 @@ class TestDeviceAugment:
                                atol=1e-5):
                     found = True
         assert found
+
+
+class TestUint8Transport:
+    def test_uint8_matches_float_exactly(self):
+        """uint8 transport + device /255 equals shipping ToArray's
+        float32 up to one float-rounding ulp (XLA fuses the division
+        into the augment pipeline, so association differs)."""
+        from count_pipnet_tpu.data.device_augment import (
+            DeviceAugmentConfig, make_device_twoview_augment,
+        )
+        rng = np.random.default_rng(0)
+        raw_u8 = rng.integers(0, 256, size=(2, 40, 40, 3), dtype=np.uint8)
+        raw_f32 = raw_u8.astype(np.float32) / 255.0
+        cfg = DeviceAugmentConfig(img_size=32, brightness=0.1,
+                                  contrast=0.1, noise_std=0.1, noise_p=0.5)
+        aug = make_device_twoview_augment(cfg)
+        key = jax.random.PRNGKey(3)
+        v1u, v2u = aug(key, jnp.asarray(raw_u8))
+        v1f, v2f = aug(key, jnp.asarray(raw_f32))
+        np.testing.assert_allclose(np.asarray(v1u), np.asarray(v1f),
+                                   atol=1e-5)
+        np.testing.assert_allclose(np.asarray(v2u), np.asarray(v2f),
+                                   atol=1e-5)
+
+    def test_registry_ships_uint8(self, tmp_path):
+        """The device-augment recipe's host pipeline emits uint8."""
+        from count_pipnet_tpu.data.augment import ToUint8Array
+        from PIL import Image
+        arr = ToUint8Array()(Image.new("RGB", (8, 8), (3, 200, 77)))
+        assert arr.dtype == np.uint8 and arr.shape == (8, 8, 3)
