@@ -156,3 +156,51 @@ class TestEvalMetrics:
         assert any_class[0] == 2  # protos 0 (c0) and 2 (c1)
         per_class = relevant.sum(axis=2)
         assert per_class[0, 0] == 1 and per_class[1, 0] == 1
+
+
+class TestBinaryMetrics:
+    """Binary-task extras (sensitivity/specificity/balanced-acc/AUC,
+    reference test.py:159-183) through the full evaluate() pass on a
+    2-class model."""
+
+    def test_binary_extras_present_and_consistent(self):
+        from count_pipnet_tpu.models import get_count_network
+        from count_pipnet_tpu.train.eval import evaluate
+
+        class A:
+            net = "convnext_tiny_26"
+            num_features = 4
+            use_mid_layers = True
+            num_stages = 1
+            bias = False
+            activation = "softmax"
+            intermediate_layer = "onehot"
+            positive_grad_strategy = None
+            backward_clamp_strategy = "Identity"
+            disable_pretrained = True
+
+        model, _ = get_count_network(2, A, max_count=3, use_ste=True)
+        x0 = jnp.zeros((4, 32, 32, 3))
+        params = model.init({"params": jax.random.PRNGKey(0),
+                             "gumbel": jax.random.PRNGKey(1)}, x0)["params"]
+        rng = np.random.default_rng(0)
+        batches = [
+            (rng.normal(size=(4, 32, 32, 3)).astype(np.float32),
+             np.array([0, 1, 0, 1], np.int32))
+            for _ in range(2)
+        ]
+        info, _ = evaluate(model, params, {}, batches, epoch=1,
+                           num_classes=2)
+        assert {"sensitivity", "specificity"} <= set(info)
+        cm = info["confusion_matrix"]
+        tp, fn, fp, tn = cm[0][0], cm[0][1], cm[1][0], cm[1][1]
+        want_sens = tp / (tp + fn) if (tp + fn) else 0.0
+        want_spec = tn / (tn + fp) if (tn + fp) else 0.0
+        assert info["sensitivity"] == want_sens
+        assert info["specificity"] == want_spec
+        if "balanced_accuracy" in info:
+            # sklearn balanced acc == mean(sens, spec) for binary
+            assert abs(info["balanced_accuracy"]
+                       - (want_sens + want_spec) / 2) < 1e-9
+        if "auc_macro" in info:
+            assert 0.0 <= info["auc_macro"] <= 1.0
