@@ -112,8 +112,17 @@ def run_all_configs(cmd_args):
             else:
                 _run_in_subprocess(args)
 
-            if key not in pretrained_cache and args.epochs_pretrain > 0:
+            produced = os.path.exists(os.path.join(
+                args.log_dir, "checkpoints", "net_pretrained"))
+            if key not in pretrained_cache and produced:
+                # only cache runs that actually WROTE a pretrained
+                # checkpoint (a run that itself loaded a shared one has
+                # nothing discoverable in its own dir)
                 pretrained_cache[key] = (args.log_dir, args)
+            elif key not in pretrained_cache and \
+                    getattr(args, "pretrained_checkpoints_dir", ""):
+                pretrained_cache[key] = (args.pretrained_checkpoints_dir,
+                                         args)
             run_record["status"] = "success"
             run_record["log_dir"] = args.log_dir
         except Exception as e:
