@@ -51,6 +51,12 @@ def test_sweep_shares_backbone_and_writes_summary(tmp_path, monkeypatch):
 
     def fake_run(args):
         calls.append(args)
+        # a real run writes net_pretrained; the runner only caches dirs
+        # that actually contain one
+        ckpt_dir = os.path.join(args.log_dir, "checkpoints")
+        os.makedirs(ckpt_dir, exist_ok=True)
+        with open(os.path.join(ckpt_dir, "net_pretrained"), "wb") as f:
+            f.write(b"x")
 
     import count_pipnet_tpu.train.trainer as trainer_mod
     monkeypatch.setattr(trainer_mod, "run_pipnet", fake_run)
