@@ -139,8 +139,16 @@ def _bilinear_embed_init(num_prototypes, max_count):
 class BilinearIntermediate(nn.Module):
     """embed -> W(e) * V(e) elementwise product.
     Reference: count_pipnet_utils.py:323-385 (custom_init=False default:
-    W and V use standard dense init). Note: like the reference, this layer
-    does not support prototype->classifier weight attribution."""
+    W and V use standard dense init).
+
+    Attribution note: the reference's BilinearIntermediate lacks
+    ``prototype_to_classifier_input_weights`` entirely, so the reference
+    CRASHES (AttributeError at test.py:55) on any bilinear eval — its
+    bilinear configs cannot complete a training run. Here the attribution
+    is implemented exactly: for a unit count of prototype p alone
+    (x = 1_p), the bilinear output is (W e_p) * (V e_p) with
+    e_p = embed[:, p] — that output direction IS the prototype's
+    influence on the classifier input."""
 
     num_prototypes: int
     max_count: int
@@ -163,10 +171,13 @@ class BilinearIntermediate(nn.Module):
         return self.num_prototypes * self.max_count
 
     def classifier_input_weight_matrix(self, params):
-        raise NotImplementedError(
-            "BilinearIntermediate has no prototype->classifier attribution "
-            "(the reference lacks prototype_to_classifier_input_weights for "
-            "this variant too, count_pipnet_utils.py:323-385)")
+        """[P, D] exact unit-count attribution: row p = W(e_p) * V(e_p)
+        (see class docstring; fixes the reference's bilinear eval crash)."""
+        embed_w = params["embed"]           # [D, P]
+        wk = params["W"]["kernel"]          # [D, D] (in, out)
+        vk = params["V"]["kernel"]
+        e = embed_w.T                       # [P, D]: e_p rows
+        return (e @ wk) * (e @ vk)
 
 
 class IdentityIntermediate(nn.Module):

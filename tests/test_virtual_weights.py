@@ -112,3 +112,26 @@ class TestUniformLoss:
                + 1e-10).log().item()
         got = float(uniform_loss(jnp.asarray(x)))
         assert got == pytest.approx(ref, rel=1e-4)
+
+
+class TestBilinearAttribution:
+    def test_unit_count_exactness(self):
+        """Bilinear attribution row p equals the layer's output for a
+        unit count of prototype p (fixes the reference's bilinear eval
+        crash — its BilinearIntermediate lacks the method entirely,
+        count_pipnet_utils.py:323-385 vs test.py:55)."""
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+        from count_pipnet_tpu.models.intermediates import make_intermediate
+
+        m = make_intermediate("bilinear", num_prototypes=5, max_count=2)
+        params = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 5)))["params"]
+        attr = m.classifier_input_weight_matrix(params)
+        assert attr.shape == (5, 10)
+        for p in range(5):
+            onehot = jnp.zeros((1, 5)).at[0, p].set(1.0)
+            out = m.apply({"params": params}, onehot)[0]
+            np.testing.assert_allclose(np.asarray(out),
+                                       np.asarray(attr[p]),
+                                       rtol=1e-5, atol=1e-6)
