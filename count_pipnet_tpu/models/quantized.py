@@ -155,6 +155,7 @@ def fused_block_convnext_apply(params: Dict, x, *,
                                stage_settings=CONVNEXT_TINY_STAGES,
                                dtype=jnp.bfloat16,
                                int8_min_dim: int = 384,
+                               int8_downsample: bool = False,
                                dw_bf16: bool = False,
                                interpret: bool = False):
     """Serving forward with ONE Pallas kernel per ConvNeXt block
@@ -162,7 +163,12 @@ def fused_block_convnext_apply(params: Dict, x, *,
     residual, planes kept flattened [B, H*W, C] across each stage).
     Stages whose width is >= ``int8_min_dim`` run their pointwise GEMMs
     in int8 (measured 125-207 TF/s vs the 126 TF/s bf16 ceiling); narrow
-    stages stay bf16 (int8 is not faster below C=384). Takes the ORIGINAL
+    stages stay bf16 (int8 is not faster below C=384). In-block int8
+    noise is suppressed by the tiny layer-scale on the branch, so counts
+    and top-1 agree exactly with the bf16 path; ``int8_downsample``
+    additionally quantizes the wide stride-1 downsample GEMM (~4%
+    faster) but that output is NOT residual-scaled, so exact top-1
+    agreement is lost — off by default. Takes the ORIGINAL
     ConvNeXtFeatures param tree; mirrors ConvNeXtFeatures.__call__."""
     from ..ops.pallas.fused_block import fused_block_apply
 
@@ -181,7 +187,7 @@ def fused_block_convnext_apply(params: Dict, x, *,
             stride = 1 if in_ch > stride_threshold else 2
             hn = _layer_norm(h, ds["norm"]["scale"], ds["norm"]["bias"]) \
                 .astype(dtype)
-            if stride == 1 and in_ch >= int8_min_dim:
+            if stride == 1 and in_ch >= int8_min_dim and int8_downsample:
                 # Wide stride-1 downsample (stage3->4 after stride
                 # surgery): 2x2 im2col + int8 GEMM (K=4*in_ch) — XLA's
                 # bf16 conv runs this at 62 TF/s, the int8 kernel ~200.

@@ -257,7 +257,8 @@ class TestDownsampleInt8Branch:
         got = fused_block_convnext_apply(
             params["backbone"], x, stride_threshold=bb.stride_threshold,
             num_stages=bb.num_stages, stage_settings=bb.stage_settings,
-            dtype=jnp.float32, int8_min_dim=96, interpret=True)
+            dtype=jnp.float32, int8_min_dim=96, int8_downsample=True,
+            interpret=True)
         scale = float(jnp.max(jnp.abs(ref))) + 1e-9
         np.testing.assert_allclose(np.asarray(got) / scale,
                                    np.asarray(ref) / scale, atol=3e-2)
