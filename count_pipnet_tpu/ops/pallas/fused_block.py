@@ -60,17 +60,18 @@ def _dwconv_flat(x, wk, bias, h, w, tap_dtype=jnp.float32):
     row = jax.lax.broadcasted_iota(jnp.int32, (hw, 1), 0) // w
     col = jax.lax.broadcasted_iota(jnp.int32, (hw, 1), 0) % w
 
-    xt = x.astype(tap_dtype)
     wt = wk.astype(tap_dtype)
     # vertical shifts hoisted out of the dx loop: 7 rolls + 7 row masks
     # total (not 49), then the 49 FMAs below are the mathematical minimum.
+    # Mosaic's tpu.dynamic_rotate only supports 32-bit data, so the rolls
+    # stay f32; only the tap FMAs run in tap_dtype.
     xds = []
     for dy in range(K):
         sh = (dy - PAD) * w
-        xd = pltpu.roll(xt, (-sh) % hw, axis=0) if sh else xt
+        xd = pltpu.roll(x, (-sh) % hw, axis=0) if sh else x
         rmask = jnp.logical_and(row + (dy - PAD) >= 0,
                                 row + (dy - PAD) < h)
-        xds.append(jnp.where(rmask, xd, jnp.zeros((), tap_dtype)))
+        xds.append(jnp.where(rmask, xd, 0.0).astype(tap_dtype))
 
     acc = jnp.broadcast_to(bias.astype(jnp.float32), (hw, x.shape[-1]))
     for dx in range(K):
@@ -78,12 +79,13 @@ def _dwconv_flat(x, wk, bias, h, w, tap_dtype=jnp.float32):
         for dy in range(K):
             t = xds[dy] * wt[dy * K + dx]
             vs = t if vs is None else vs + t
+        vs = vs.astype(jnp.float32)
         sd = dx - PAD
         if sd:
             vs = pltpu.roll(vs, (-sd) % hw, axis=0)
             cmask = jnp.logical_and(col + sd >= 0, col + sd < w)
-            vs = jnp.where(cmask, vs, jnp.zeros((), tap_dtype))
-        acc = acc + vs.astype(jnp.float32)
+            vs = jnp.where(cmask, vs, 0.0)
+        acc = acc + vs
     return acc
 
 
