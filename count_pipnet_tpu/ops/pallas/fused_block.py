@@ -103,24 +103,34 @@ def _quant_rows(x):
 
 def _kernel_bf16(x_ref, dwk_ref, dwb_ref, lns_ref, lnb_ref, w1_ref, b1_ref,
                  w2_ref, b2_ref, g_ref, out_ref, *, h, w, eps, tap_dtype):
-    x32 = x_ref[0].astype(jnp.float32)
-    d = _dwconv_flat(x32, dwk_ref[:], dwb_ref[:], h, w,
-                     tap_dtype=tap_dtype)
+    # bt images per grid step: dwconv runs per image (2-D rolls), then
+    # the planes are concatenated along rows so the MLP GEMMs see
+    # M = bt*HW (lifts MXU utilization at small plane sizes)
+    bt = x_ref.shape[0]
+    x32s = [x_ref[i].astype(jnp.float32) for i in range(bt)]
+    ds = [_dwconv_flat(x32, dwk_ref[:], dwb_ref[:], h, w,
+                       tap_dtype=tap_dtype) for x32 in x32s]
+    d = ds[0] if bt == 1 else jnp.concatenate(ds, axis=0)
     n = _layer_norm_rows(d, lns_ref[:], lnb_ref[:], eps)
     hid = jnp.dot(n.astype(jnp.bfloat16), w1_ref[:],
                   preferred_element_type=jnp.float32) + b1_ref[:]
     a = jax.nn.gelu(hid, approximate=True)
     y = jnp.dot(a.astype(jnp.bfloat16), w2_ref[:],
                 preferred_element_type=jnp.float32) + b2_ref[:]
-    out_ref[0] = (x32 + y * g_ref[:]).astype(out_ref.dtype)
+    hw = h * w
+    for i in range(bt):
+        out_ref[i] = (x32s[i] + y[i * hw:(i + 1) * hw] * g_ref[:]) \
+            .astype(out_ref.dtype)
 
 
 def _kernel_int8(x_ref, dwk_ref, dwb_ref, lns_ref, lnb_ref, w1_ref, s1_ref,
                  b1_ref, w2_ref, s2_ref, b2_ref, g_ref, out_ref,
                  *, h, w, eps, tap_dtype):
-    x32 = x_ref[0].astype(jnp.float32)
-    d = _dwconv_flat(x32, dwk_ref[:], dwb_ref[:], h, w,
-                     tap_dtype=tap_dtype)
+    bt = x_ref.shape[0]
+    x32s = [x_ref[i].astype(jnp.float32) for i in range(bt)]
+    ds = [_dwconv_flat(x32, dwk_ref[:], dwb_ref[:], h, w,
+                       tap_dtype=tap_dtype) for x32 in x32s]
+    d = ds[0] if bt == 1 else jnp.concatenate(ds, axis=0)
     n = _layer_norm_rows(d, lns_ref[:], lnb_ref[:], eps)
     nq, nsc = _quant_rows(n)
     hid = jnp.dot(nq, w1_ref[:], preferred_element_type=jnp.int32)
@@ -129,7 +139,10 @@ def _kernel_int8(x_ref, dwk_ref, dwb_ref, lns_ref, lnb_ref, w1_ref, s1_ref,
     aq, asc = _quant_rows(a)
     y = jnp.dot(aq, w2_ref[:], preferred_element_type=jnp.int32)
     y = y.astype(jnp.float32) * asc * s2_ref[:] + b2_ref[:]
-    out_ref[0] = (x32 + y * g_ref[:]).astype(out_ref.dtype)
+    hw = h * w
+    for i in range(bt):
+        out_ref[i] = (x32s[i] + y[i * hw:(i + 1) * hw] * g_ref[:]) \
+            .astype(out_ref.dtype)
 
 
 def quantize_block_weights(kernel):
@@ -144,7 +157,8 @@ def quantize_block_weights(kernel):
 
 def fused_block_apply(x, h, w, dw_kernel, dw_bias, ln_scale, ln_bias,
                       w1, b1, w2, b2, gamma, *, int8: bool = False,
-                      dw_bf16: bool = False, eps: float = 1e-6,
+                      dw_bf16: bool = False, batch_tile: int = 1,
+                      eps: float = 1e-6,
                       interpret: bool = False):
     """Whole ConvNeXt block on flattened planes.
 
@@ -160,6 +174,9 @@ def fused_block_apply(x, h, w, dw_kernel, dw_bias, ln_scale, ln_bias,
     """
     b, hw, c = x.shape
     assert hw == h * w, (hw, h, w)
+    bt = batch_tile
+    while b % bt:
+        bt -= 1
     hdim = w1.shape[1]
     dwk = jnp.asarray(dw_kernel, jnp.float32).reshape(K * K, 1, c)
 
@@ -167,7 +184,7 @@ def fused_block_apply(x, h, w, dw_kernel, dw_bias, ln_scale, ln_bias,
         return (0, 0)
 
     common_in = [
-        pl.BlockSpec((1, hw, c), lambda i: (i, 0, 0),
+        pl.BlockSpec((bt, hw, c), lambda i: (i, 0, 0),
                      memory_space=pl.ANY if interpret else pltpu.VMEM),
     ]
     space = pl.ANY if interpret else pltpu.VMEM
@@ -215,9 +232,9 @@ def fused_block_apply(x, h, w, dw_kernel, dw_bias, ln_scale, ln_bias,
 
     return pl.pallas_call(
         kern,
-        grid=(b,),
+        grid=(b // bt,),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, hw, c), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((bt, hw, c), lambda i: (i, 0, 0),
                                memory_space=space),
         out_shape=jax.ShapeDtypeStruct((b, hw, c), x.dtype),
         compiler_params=None if interpret else pltpu.CompilerParams(
