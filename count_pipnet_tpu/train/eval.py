@@ -61,9 +61,9 @@ def evaluate(model, params, batch_stats, test_loader, epoch, *,
     cpw = class_prototype_weights(model, params)
 
     cm = np.zeros((num_classes, num_classes), dtype=np.int64)
-    n_batches = 0
+    n_images = 0
     abstained = 0
-    top1_sum = top5_sum = 0.0
+    top5_sum = 0.0
     pred_local_sum = any_local_sum = 0.0
     ppc_sum = anz_sum = 0.0
     y_trues, y_preds, y_pred_classes = [], [], []
@@ -80,15 +80,19 @@ def evaluate(model, params, batch_stats, test_loader, epoch, *,
         stats = eval_step(params, model_state, jnp.asarray(xs),
                           jnp.asarray(ys), cpw, sub, tau)
         stats = jax.device_get(stats)
-        n_batches += 1
+        # Weight every per-batch mean by the batch size so a ragged final
+        # batch (testloader has drop_last=False) does not bias the global
+        # means; the reference counts per-image over the whole set
+        # (test.py:127-142).
+        bs = int(np.asarray(ys).shape[0])
+        n_images += bs
         cm += np.asarray(stats["cm"], dtype=np.int64)
         abstained += int(stats["abstained"])
-        top1_sum += float(stats["top1_mean"])
-        top5_sum += float(stats["top5_mean"])
-        pred_local_sum += float(stats["pred_class_sizes_mean"])
-        any_local_sum += float(stats["any_class_sizes_mean"])
-        ppc_sum += float(stats["prototypes_per_class_mean"])
-        anz_sum += float(stats["almost_nz_mean"])
+        top5_sum += float(stats["top5_mean"]) * bs
+        pred_local_sum += float(stats["pred_class_sizes_mean"]) * bs
+        any_local_sum += float(stats["any_class_sizes_mean"]) * bs
+        ppc_sum += float(stats["prototypes_per_class_mean"]) * bs
+        anz_sum += float(stats["almost_nz_mean"]) * bs
         y_trues.extend(np.asarray(ys).tolist())
         y_preds.extend(stats["pred_scores"].tolist())
         y_pred_classes.extend(stats["ys_pred"].tolist())
@@ -101,16 +105,20 @@ def evaluate(model, params, batch_stats, test_loader, epoch, *,
     sparsity = (w.size - np.count_nonzero(np.maximum(w - 1e-3, 0))) / w.size
     print("sparsity ratio:", sparsity, flush=True)
 
+    n = max(n_images, 1)
     info = {
         "num non-zero prototypes": num_nonzero_protos,
         "confusion_matrix": cm,
         "test_accuracy": acc_from_cm(cm),
-        "top1_accuracy": top1_sum / max(n_batches, 1),
-        "top5_accuracy": top5_sum / max(n_batches, 1),
-        "local_size_for_true_class": pred_local_sum / max(n_batches, 1),
-        "local_size_for_all_classes": any_local_sum / max(n_batches, 1),
-        "prototypes_per_class": ppc_sum / max(n_batches, 1),
-        "almost_nonzeros": anz_sum / max(n_batches, 1),
+        # Top-1 derived from the (exact, per-image) confusion matrix —
+        # identical to a batch mean on divisible loaders, unbiased on a
+        # ragged final batch (reference global counting, test.py:127-142).
+        "top1_accuracy": acc_from_cm(cm),
+        "top5_accuracy": top5_sum / n,
+        "local_size_for_true_class": pred_local_sum / n,
+        "local_size_for_all_classes": any_local_sum / n,
+        "prototypes_per_class": ppc_sum / n,
+        "almost_nonzeros": anz_sum / n,
         "sparsity_ratio": float(sparsity),
     }
 

@@ -204,3 +204,59 @@ class TestBinaryMetrics:
                        - (want_sens + want_spec) / 2) < 1e-9
         if "auc_macro" in info:
             assert 0.0 <= info["auc_macro"] <= 1.0
+
+
+class TestRaggedFinalBatch:
+    """Ragged final batch (testloader drop_last=False) must not bias the
+    global metrics: top-1 comes from the per-image confusion matrix and
+    every per-batch mean is weighted by batch size (reference global
+    counting, test.py:127-142)."""
+
+    def _build(self):
+        from count_pipnet_tpu.models import get_count_network
+
+        class A:
+            net = "convnext_tiny_26"
+            num_features = 4
+            use_mid_layers = True
+            num_stages = 1
+            bias = False
+            activation = "softmax"
+            intermediate_layer = "onehot"
+            positive_grad_strategy = None
+            backward_clamp_strategy = "Identity"
+            disable_pretrained = True
+
+        model, _ = get_count_network(3, A, max_count=3, use_ste=True)
+        x0 = jnp.zeros((2, 32, 32, 3))
+        params = model.init({"params": jax.random.PRNGKey(0),
+                             "gumbel": jax.random.PRNGKey(1)}, x0)["params"]
+        return model, params
+
+    def test_ragged_equals_per_image_counting(self):
+        from count_pipnet_tpu.train.eval import evaluate
+
+        model, params = self._build()
+        rng = np.random.default_rng(1)
+        imgs = rng.normal(size=(7, 32, 32, 3)).astype(np.float32)
+        ys = np.array([0, 1, 2, 0, 1, 2, 0], np.int32)
+
+        # batches of 4 + ragged 3
+        ragged = [(imgs[:4], ys[:4]), (imgs[4:], ys[4:])]
+        # per-image "batches" = unbiased gold standard
+        singles = [(imgs[i:i + 1], ys[i:i + 1]) for i in range(7)]
+
+        info_r, _ = evaluate(model, params, {}, ragged, epoch=1,
+                             num_classes=3, enforce_weight_sparsity=False)
+        info_s, _ = evaluate(model, params, {}, singles, epoch=1,
+                             num_classes=3, enforce_weight_sparsity=False)
+
+        assert np.array_equal(info_r["confusion_matrix"],
+                              info_s["confusion_matrix"])
+        # top-1 must equal CM-derived accuracy exactly
+        assert info_r["top1_accuracy"] == pytest.approx(
+            acc_from_cm(info_r["confusion_matrix"]))
+        for k in ("top1_accuracy", "top5_accuracy",
+                  "local_size_for_true_class", "local_size_for_all_classes",
+                  "almost_nonzeros"):
+            assert info_r[k] == pytest.approx(info_s[k], abs=1e-5), k
