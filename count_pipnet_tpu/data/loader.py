@@ -66,7 +66,8 @@ class DataLoader:
     def __init__(self, dataset, batch_size: int, shuffle: bool = False,
                  drop_last: bool = False, num_workers: int = 8,
                  seed: int = 0, sample_weights: Optional[np.ndarray] = None,
-                 prefetch_batches: int = 2):
+                 prefetch_batches: int = 2, process_index: int = 0,
+                 process_count: int = 1):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -76,6 +77,18 @@ class DataLoader:
         self.sample_weights = sample_weights
         self.prefetch_batches = prefetch_batches
         self.epoch = 0
+        # Multi-host mode: the epoch index permutation is identical on all
+        # hosts (keyed only by (seed, epoch)), so each host decodes ONLY
+        # its indices[lo:hi] slice of every global batch — host CPU cost
+        # scales down 1/process_count — and feeds the slice through
+        # parallel.distributed.shard_host_local_batch.
+        self.process_index = process_index
+        self.process_count = process_count
+        self.host_local = process_count > 1
+        if self.host_local and batch_size % process_count:
+            raise ValueError(
+                f"batch_size {batch_size} not divisible by "
+                f"{process_count} processes")
 
     def set_epoch(self, epoch: int):
         self.epoch = epoch
@@ -111,6 +124,15 @@ class DataLoader:
             chunk = indices[start:start + self.batch_size]
             if len(chunk) < self.batch_size and self.drop_last:
                 continue
+            if self.host_local:
+                if len(chunk) % self.process_count:
+                    raise ValueError(
+                        f"ragged batch of {len(chunk)} not divisible by "
+                        f"{self.process_count} processes (use "
+                        f"drop_last=True for host-local loaders)")
+                per = len(chunk) // self.process_count
+                chunk = chunk[self.process_index * per:
+                              (self.process_index + 1) * per]
             batches.append(chunk)
 
         if not batches:

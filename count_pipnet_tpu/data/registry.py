@@ -286,16 +286,24 @@ def get_dataloaders(args, basepath="./", test_set_projection_full=False):
         shuffle = False
 
     common = dict(num_workers=args.num_workers, seed=args.seed)
+    # Multi-host: the two training loaders (the only ones feeding the
+    # batch-sharded train step) decode only this host's slice of each
+    # global batch; eval/projection loaders stay global since every
+    # process evaluates redundantly on its own devices.
+    import jax as _jax
+    host_local = dict(process_index=_jax.process_index(),
+                      process_count=_jax.process_count()) \
+        if _jax.process_count() > 1 else {}
 
     trainloader = DataLoader(
         trainset, args.batch_size, shuffle=shuffle, drop_last=True,
-        sample_weights=sample_weights, **common)
+        sample_weights=sample_weights, **common, **host_local)
     trainloader.device_augment_cfg = getattr(trainset,
                                              "device_augment_cfg", None)
     pre_set = trainset_pretraining or trainset
     trainloader_pretraining = DataLoader(
         pre_set, args.batch_size_pretrain, shuffle=shuffle, drop_last=True,
-        sample_weights=sample_weights, **common)
+        sample_weights=sample_weights, **common, **host_local)
     trainloader_pretraining.device_augment_cfg = getattr(
         pre_set, "device_augment_cfg", None)
     trainloader_normal = DataLoader(

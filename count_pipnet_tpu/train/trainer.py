@@ -150,7 +150,12 @@ class Trainer:
         xs1 = jnp.asarray(batch[0][:1])  # keep dtype (uint8 transport)
         cfg = getattr(loader, "device_augment_cfg", None)
         if cfg is None and jnp.issubdtype(xs1.dtype, jnp.integer):
+            # uint8 transport without device augmentation: apply the same
+            # Normalize the host float pipeline (ToArray + Normalize) would
+            from ..data.augment import IMAGENET_MEAN, IMAGENET_STD
             xs1 = xs1.astype(jnp.float32) / 255.0
+            xs1 = (xs1 - jnp.asarray(IMAGENET_MEAN)) / jnp.asarray(
+                IMAGENET_STD)
         elif cfg is None:
             xs1 = xs1.astype(jnp.float32)
         if cfg is not None:
@@ -228,6 +233,14 @@ class Trainer:
                     make_device_twoview_augment(dev_aug_cfg)
             dev_aug = self._dev_aug_fns[dev_aug_cfg]
 
+        # Host-local loaders (multi-host) yield only this process's slice
+        # of the global batch; assemble the global array from local shards.
+        if getattr(loader, "host_local", False):
+            from ..parallel.distributed import shard_host_local_batch
+            feed = lambda tree: shard_host_local_batch(self.mesh, tree)  # noqa: E731
+        else:
+            feed = lambda tree: shard_batch(self.mesh, tree)  # noqa: E731
+
         loader.set_epoch(epoch)
         iters = len(loader)
         totals = {k: 0.0 for k in
@@ -276,7 +289,7 @@ class Trainer:
                 xs1, ys = host_batch  # single-view host pipeline
                 # keep the loader's dtype (uint8 transport): the device
                 # converts to [0,1] float inside dev_aug
-                raw, ys_s = shard_batch(self.mesh, (
+                raw, ys_s = feed((
                     np.asarray(xs1),
                     np.asarray(ys, np.int32)))
                 self.rng, akey = jax.random.split(self.rng)
@@ -284,7 +297,7 @@ class Trainer:
                 batch = (v1, v2, ys_s)
             else:
                 xs1, xs2, ys = host_batch
-                batch = shard_batch(self.mesh, (
+                batch = feed((
                     np.asarray(xs1, np.float32),
                     np.asarray(xs2, np.float32),
                     np.asarray(ys, np.int32)))
@@ -385,9 +398,16 @@ def run_pipnet(args):
     """Full training run — reference main.py:42-496."""
     from ..data.registry import get_dataloaders
 
+    # Multi-host runs execute the full trainer on every process (SPMD),
+    # but only process 0 may touch shared files: checkpoints, CSV logs,
+    # LR plots, and visualization artifacts all live under args.log_dir,
+    # and concurrent same-path writes from N hosts can corrupt them.
+    is_main = jax.process_index() == 0
+
     log = Log(args.log_dir)
     print("Log dir:", args.log_dir, flush=True)
-    save_args(args, log.metadata_dir)
+    if is_main:
+        save_args(args, log.metadata_dir)
 
     (trainloader, trainloader_pretraining, trainloader_normal,
      trainloader_normal_augment, projectloader, testloader,
@@ -447,7 +467,8 @@ def run_pipnet(args):
 
     wshape = trainer.probe_wshape(trainloader)
 
-    log.create_log("log_epoch_overview", "epoch", *LOG_COLUMNS)
+    if is_main:
+        log.create_log("log_epoch_overview", "epoch", *LOG_COLUMNS)
 
     # ---------------- PHASE 1: prototype pretraining ----------------------
     pre_iters = len(trainloader_pretraining)
@@ -464,28 +485,33 @@ def run_pipnet(args):
         if trainer.is_count and trainer.use_gumbel:
             trainer.anneal_tau(epoch)
         lrs_pretrain += info["lrs_net"]
-        _plot_lrs(lrs_pretrain, os.path.join(args.log_dir,
-                                             "lr_pretrain_net.png"))
-        log.log_values(
-            "log_epoch_overview", epoch, "n.a.", "n.a.", "n.a.", "n.a.",
-            "n.a.", "n.a.", "n.a.", info["loss"],
-            info["align_loss_raw"], info["tanh_loss_raw"], "n.a.",
-            info["align_loss_weighted"], info["tanh_loss_weighted"], "n.a.")
+        if is_main:
+            _plot_lrs(lrs_pretrain, os.path.join(args.log_dir,
+                                                 "lr_pretrain_net.png"))
+            log.log_values(
+                "log_epoch_overview", epoch, "n.a.", "n.a.", "n.a.", "n.a.",
+                "n.a.", "n.a.", "n.a.", info["loss"],
+                info["align_loss_raw"], info["tanh_loss_raw"], "n.a.",
+                info["align_loss_weighted"], info["tanh_loss_weighted"],
+                "n.a.")
 
-    if args.epochs_pretrain > 0 and not resumed:
+    if args.epochs_pretrain > 0 and not resumed and is_main:
         ckpt.save_pretrained_checkpoint(
             jax.device_get(trainer.params),
             jax.device_get(trainer.batch_stats))
 
-    try:
-        from ..interpret.vis_pipnet import vizualize_network
-        vizualize_network(
-            trainer, projectloader, num_classes,
-            "visualised_pretrained_prototypes_topk", args, k=10,
-            are_pretraining_prototypes=True, plot_histograms=False,
-            visualize_prototype_maps=False, plot_topk=False)
-    except Exception as e:
-        print(f"(pretrain prototype visualization skipped: {e})", flush=True)
+    if is_main:
+        try:
+            from ..interpret.vis_pipnet import vizualize_network
+            vizualize_network(
+                trainer, projectloader, num_classes,
+                "visualised_pretrained_prototypes_topk", args, k=10,
+                are_pretraining_prototypes=True, plot_histograms=False,
+                visualize_prototype_maps=False,
+                plot_topk=getattr(args, "viz_topk", True))
+        except Exception as e:
+            print(f"(pretrain prototype visualization skipped: {e})",
+                  flush=True)
 
     # ---------------- PHASE 2: classification training --------------------
     if not resumed:
@@ -538,29 +564,30 @@ def run_pipnet(args):
             rng=sub, tau=trainer.tau, eval_step=trainer.eval_step)
         trainer.params = new_params
 
-        log.log_values(
-            "log_epoch_overview", epoch, eval_info["top1_accuracy"],
-            eval_info["local_size_for_true_class"],
-            eval_info["local_size_for_all_classes"],
-            eval_info["prototypes_per_class"],
-            eval_info["almost_nonzeros"],
-            eval_info["num non-zero prototypes"],
-            info["train_accuracy"], info["loss"],
-            info["align_loss_raw"], info["tanh_loss_raw"],
-            info["class_loss_raw"], info["align_loss_weighted"],
-            info["tanh_loss_weighted"], info["class_loss_weighted"])
+        if is_main:
+            log.log_values(
+                "log_epoch_overview", epoch, eval_info["top1_accuracy"],
+                eval_info["local_size_for_true_class"],
+                eval_info["local_size_for_all_classes"],
+                eval_info["prototypes_per_class"],
+                eval_info["almost_nonzeros"],
+                eval_info["num non-zero prototypes"],
+                info["train_accuracy"], info["loss"],
+                info["align_loss_raw"], info["tanh_loss_raw"],
+                info["class_loss_raw"], info["align_loss_weighted"],
+                info["tanh_loss_weighted"], info["class_loss_weighted"])
 
-        host_params = jax.device_get(trainer.params)
-        host_stats = jax.device_get(trainer.batch_stats)
-        host_opt = jax.device_get(trainer.opt_state)
-        ckpt.save_trained_checkpoint(host_params, host_stats, host_opt,
-                                     epoch)
-        ckpt.save_best_checkpoint(host_params, host_stats, host_opt, epoch,
-                                  eval_info["top1_accuracy"])
-        _plot_lrs(lrs_net, os.path.join(args.log_dir, "lr_net.png"))
-        _plot_lrs(lrs_class, os.path.join(args.log_dir, "lr_class.png"))
+            host_params = jax.device_get(trainer.params)
+            host_stats = jax.device_get(trainer.batch_stats)
+            host_opt = jax.device_get(trainer.opt_state)
+            ckpt.save_trained_checkpoint(host_params, host_stats, host_opt,
+                                         epoch)
+            ckpt.save_best_checkpoint(host_params, host_stats, host_opt,
+                                      epoch, eval_info["top1_accuracy"])
+            _plot_lrs(lrs_net, os.path.join(args.log_dir, "lr_net.png"))
+            _plot_lrs(lrs_class, os.path.join(args.log_dir, "lr_class.png"))
 
-    if args.epochs > 1:
+    if args.epochs > 1 and is_main:
         ckpt.save_trained_checkpoint(
             jax.device_get(trainer.params),
             jax.device_get(trainer.batch_stats),
@@ -575,19 +602,20 @@ def run_pipnet(args):
         trainer.batch_stats = state.get("batch_stats", {})
         print(f"Loaded best model from epoch {meta.get('epoch')} with "
               f"accuracy {meta.get('accuracy', 0):.4f}", flush=True)
-        try:
-            from ..interpret.vis_pipnet import vizualize_network
-            folder = (f"visualised_prototypes_topk_best_model_epoch"
-                      f"{meta.get('epoch')}")
-            vizualize_network(
-                trainer, projectloader, num_classes, folder, args,
-                plot_histograms=getattr(args, "viz_histograms", False),
-                visualize_prototype_maps=getattr(
-                    args, "viz_prototype_maps", True),
-                plot_topk=getattr(args, "viz_topk", True),
-                are_pretraining_prototypes=False)
-        except Exception as e:
-            print(f"(prototype visualization skipped: {e})", flush=True)
+        if is_main:
+            try:
+                from ..interpret.vis_pipnet import vizualize_network
+                folder = (f"visualised_prototypes_topk_best_model_epoch"
+                          f"{meta.get('epoch')}")
+                vizualize_network(
+                    trainer, projectloader, num_classes, folder, args,
+                    plot_histograms=getattr(args, "viz_histograms", False),
+                    visualize_prototype_maps=getattr(
+                        args, "viz_prototype_maps", True),
+                    plot_topk=getattr(args, "viz_topk", True),
+                    are_pretraining_prototypes=False)
+            except Exception as e:
+                print(f"(prototype visualization skipped: {e})", flush=True)
     else:
         print("Failed to load best model for prototype visualization",
               flush=True)
@@ -612,7 +640,7 @@ def run_pipnet(args):
     # --interpret: run the interpretability suite on the finished model
     # (the reference ships interpret_idg/vis_pred as separate scripts;
     # here one flag drives them off the just-trained best checkpoint).
-    if getattr(args, "interpret", False):
+    if getattr(args, "interpret", False) and is_main:
         try:
             from ..data.registry import DATASET_RECIPES
             from ..interpret.visualize_prediction import vis_pred
@@ -630,6 +658,39 @@ def run_pipnet(args):
                 class_names=classes)
         except Exception as e:
             print(f"(activation histograms skipped: {e})", flush=True)
+        # Saliency attribution (IDG) on sampled projection-set images —
+        # the reference ships this as the separate interpret_idg script
+        # (reference util/interpret_idg.py:207); one flag = full suite.
+        try:
+            from ..interpret.interpret_idg import interpret as run_idg
+            run_idg({
+                "run_dir": args.log_dir,
+                "images_per_class": getattr(
+                    args, "interpret_images_per_class", 1),
+                "method": getattr(args, "interpret_method", "IDG"),
+            })
+        except Exception as e:
+            print(f"(saliency attribution skipped: {e})", flush=True)
+        # CUB part purity — only when the part annotations are on disk
+        # (reference util/eval_cub_csv.py:16-176).
+        try:
+            cub_root = "data/CUB_200_2011"
+            parts_loc = os.path.join(cub_root, "parts", "part_locs.txt")
+            parts_name = os.path.join(cub_root, "parts", "parts.txt")
+            imgs_id = os.path.join(cub_root, "images.txt")
+            if (str(getattr(args, "dataset", "")).startswith("CUB")
+                    and all(os.path.exists(p) for p in
+                            (parts_loc, parts_name, imgs_id))):
+                from ..interpret.eval_cub_csv import (
+                    get_topk_cub, eval_prototypes_cub_parts_csv,
+                )
+                csvfile = get_topk_cub(trainer, projectloader, 10,
+                                       "best", args)
+                eval_prototypes_cub_parts_csv(
+                    csvfile, parts_loc, parts_name, imgs_id, "best",
+                    args, log)
+        except Exception as e:
+            print(f"(CUB part purity skipped: {e})", flush=True)
 
     print("Done!", flush=True)
     return trainer

@@ -87,9 +87,14 @@ def _graft(target, saved):
                     skipped += count_leaves(v)
                     out[k] = v
             return out
-        # leaf: accept only shape-compatible array leaves
+        # leaf: accept only shape-compatible array leaves; cast to the
+        # target dtype so a partial restore can never silently change a
+        # parameter's compute dtype (e.g. f32 saved leaf into a bf16 tree)
         if hasattr(s, "shape") and getattr(t, "shape", None) == s.shape:
             loaded += 1
+            t_dtype = getattr(t, "dtype", None)
+            if t_dtype is not None and getattr(s, "dtype", None) != t_dtype:
+                s = np.asarray(s, dtype=t_dtype)
             return s
         skipped += 1
         return t

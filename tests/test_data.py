@@ -145,3 +145,49 @@ class TestSplit:
         assert len(te) == 4
         te_targets = [targets[i] for i in te]
         assert te_targets.count(0) == 2 and te_targets.count(1) == 2
+
+
+class TestHostLocalLoader:
+    """Multi-host mode: each process decodes only its slice of every
+    global batch; slices across processes reassemble the exact
+    single-process global batch (ADVICE r2: per-host decode cost must
+    scale 1/process_count without risking cross-host misfeeds)."""
+
+    def test_slices_reassemble_global_batch(self, shapes_dir):
+        t = A.Compose([A.Resize(16), A.ToArray()])
+        ds = TransformedDataset(ImageFolder(shapes_dir / "train"), t)
+        mk = lambda **kw: DataLoader(ds, batch_size=4, shuffle=True,
+                                     drop_last=True, num_workers=1,
+                                     seed=5, **kw)
+        globl = mk()
+        p0 = mk(process_index=0, process_count=2)
+        p1 = mk(process_index=1, process_count=2)
+        for ldr in (globl, p0, p1):
+            ldr.set_epoch(3)
+        assert len(globl) == len(p0) == len(p1)
+        for (gx, gy), (x0, y0), (x1, y1) in zip(globl, p0, p1):
+            assert x0.shape[0] == x1.shape[0] == 2
+            np.testing.assert_array_equal(gx, np.concatenate([x0, x1]))
+            np.testing.assert_array_equal(gy, np.concatenate([y0, y1]))
+
+    def test_indivisible_batch_size_rejected(self, shapes_dir):
+        t = A.Compose([A.Resize(16), A.ToArray()])
+        ds = TransformedDataset(ImageFolder(shapes_dir / "train"), t)
+        with pytest.raises(ValueError, match="not divisible"):
+            DataLoader(ds, batch_size=5, process_index=0, process_count=2)
+
+    def test_ragged_chunk_rejected(self):
+        # drop_last=False can yield a ragged tail that cannot shard
+        class Stub:
+            def __len__(self):
+                return 5
+
+            def __getitem__(self, key):
+                idx, _rng = key
+                return np.zeros((2, 2), np.float32), idx
+
+        ldr = DataLoader(Stub(), batch_size=4, shuffle=False,
+                         drop_last=False, num_workers=1,
+                         process_index=0, process_count=2)
+        with pytest.raises(ValueError, match="ragged"):
+            list(ldr)
