@@ -172,6 +172,22 @@ def _fused_ad_fwd(x, residual, ln_scale, ln_bias, w1, b1, w2, b2, gamma,
 
 def _fused_ad_bwd(eps, use_pallas, res, g):
     x, ln_scale, ln_bias, w1, b1, w2, b2, gamma = res
+    # c=768 (stage 4) exceeds the 16 MB VMEM limit in the fused backward:
+    # the two f32 weight-grad accumulators alone are 2 x 9.4 MB. Stage 4
+    # keeps the XLA remat backward; every narrower stage gets the kernel.
+    if use_pallas and x.shape[-1] <= 384:
+        # hand-written Pallas backward: recompute + all four backward
+        # GEMMs in one kernel, 4C intermediates never touch HBM
+        # (ops/pallas/fused_mlp_bwd.py)
+        from .fused_mlp_bwd import fused_mlp_bwd
+        dx, dls, dlb, dw1, db1, dw2, db2, dgamma = fused_mlp_bwd(
+            x, g, ln_scale, ln_bias, w1, b1, w2, b2, gamma, eps=eps)
+        return (dx.astype(x.dtype), g,
+                dls.astype(ln_scale.dtype).reshape(ln_scale.shape),
+                dlb.astype(ln_bias.dtype).reshape(ln_bias.shape),
+                dw1.astype(w1.dtype), db1.astype(b1.dtype).reshape(b1.shape),
+                dw2.astype(w2.dtype), db2.astype(b2.dtype).reshape(b2.shape),
+                dgamma.astype(gamma.dtype).reshape(gamma.shape))
     g32 = g.astype(jnp.float32)
     _, vjp_fn = jax.vjp(
         lambda *a: _mlp_body(*a, eps), x, ln_scale, ln_bias, w1, b1, w2,

@@ -181,3 +181,88 @@ class TestWholeBlockModule:
         scale = float(jnp.abs(ref).max())
         np.testing.assert_allclose(np.asarray(got) / scale,
                                    np.asarray(ref) / scale, atol=3e-3)
+
+
+class TestPallasMlpBackward:
+    """Hand-written Pallas backward (ops/pallas/fused_mlp_bwd.py) vs
+    jax.vjp of the XLA reference body — every gradient, including the
+    cross-tile parameter-grad accumulation and ragged row padding."""
+
+    def _setup(self, rows=70, c=16):
+        rng = np.random.default_rng(3)
+        hdim = 4 * c
+        x = rng.normal(size=(rows, c)).astype(np.float32)
+        g = rng.normal(size=(rows, c)).astype(np.float32)
+        params = dict(
+            ls=(1 + 0.1 * rng.normal(size=(c,))).astype(np.float32),
+            lb=(0.1 * rng.normal(size=(c,))).astype(np.float32),
+            w1=(0.3 * rng.normal(size=(c, hdim))).astype(np.float32),
+            b1=(0.1 * rng.normal(size=(hdim,))).astype(np.float32),
+            w2=(0.3 * rng.normal(size=(hdim, c))).astype(np.float32),
+            b2=(0.1 * rng.normal(size=(c,))).astype(np.float32),
+            gamma=(0.5 * rng.normal(size=(c,))).astype(np.float32),
+        )
+        return x, g, params
+
+    def test_matches_xla_vjp(self):
+        from count_pipnet_tpu.ops.pallas.fused_mlp import _mlp_body
+        from count_pipnet_tpu.ops.pallas.fused_mlp_bwd import fused_mlp_bwd
+
+        x, g, p = self._setup()
+
+        def body(x, ls, lb, w1, b1, w2, b2, gamma):
+            return _mlp_body(x, ls, lb, w1, b1, w2, b2, gamma, 1e-6)
+
+        _, vjp_fn = jax.vjp(body, x, p["ls"], p["lb"], p["w1"], p["b1"],
+                            p["w2"], p["b2"], p["gamma"])
+        dx_r, dls_r, dlb_r, dw1_r, db1_r, dw2_r, db2_r, dg_r = vjp_fn(g)
+
+        # row_tile 32 forces cross-tile accumulation + a ragged tail (70
+        # rows -> 3 tiles, 26 padded rows)
+        dx, dls, dlb, dw1, db1, dw2, db2, dgm = fused_mlp_bwd(
+            x, g, p["ls"], p["lb"], p["w1"], p["b1"], p["w2"], p["b2"],
+            p["gamma"], row_tile=32, interpret=True)
+
+        def close(a, b, label, tol=2e-2):
+            a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+            denom = np.abs(b).max() + 1e-6
+            assert np.abs(a - b).max() / denom < tol, (
+                label, np.abs(a - b).max(), denom)
+
+        close(dx, dx_r, "dx")
+        close(dls, dls_r, "dls")
+        close(dlb, dlb_r, "dlb")
+        close(dw1, dw1_r, "dw1")
+        close(db1, db1_r, "db1")
+        close(dw2, dw2_r, "dw2")
+        close(db2, db2_r, "db2")
+        close(dgm, dg_r, "dgamma")
+
+    def test_ad_wrapper_uses_pallas_bwd(self):
+        """fused_ln_mlp_residual_ad with use_pallas must route the
+        backward through the Pallas kernel and still match the XLA path
+        (CPU: interpret is unavailable through the wrapper, so compare
+        use_pallas=False grads vs direct fused_mlp_bwd outputs)."""
+        from count_pipnet_tpu.ops.pallas.fused_mlp import (
+            fused_ln_mlp_residual_ad,
+        )
+        from count_pipnet_tpu.ops.pallas.fused_mlp_bwd import fused_mlp_bwd
+
+        x, g, p = self._setup(rows=64)
+        res = np.zeros_like(x)
+
+        def loss(x, w1):
+            out = fused_ln_mlp_residual_ad(
+                x, res, p["ls"], p["lb"], w1, p["b1"], p["w2"], p["b2"],
+                p["gamma"], 1e-6, False)
+            return jnp.sum(out * jnp.asarray(g))
+
+        dx_r, dw1_r = jax.grad(loss, argnums=(0, 1))(x, p["w1"])
+        outs = fused_mlp_bwd(x, g, p["ls"], p["lb"], p["w1"], p["b1"],
+                             p["w2"], p["b2"], p["gamma"], row_tile=64,
+                             interpret=True)
+        dx, dw1 = outs[0], outs[3]
+        assert np.abs(np.asarray(dx) - np.asarray(dx_r)).max() < 2e-2 * (
+            np.abs(dx_r).max() + 1e-6)
+        assert np.abs(np.asarray(dw1) - np.asarray(dw1_r)).max() < 2e-2 * (
+            np.abs(np.asarray(dw1_r)).max() + 1e-6)
