@@ -104,30 +104,63 @@ def main():
     assert np.all(np.isfinite(out_host))
 
     if on_tpu:
-        # Regression check for the quantized serving path + hardware-PRNG
-        # gumbel head: the int8 whole-block backbone must reproduce the
-        # bf16 fused backbone's counts/top-1 exactly under the same
-        # gumbel seed (agreement 1.0 measured at round 2).
-        from count_pipnet_tpu.models.quantized import fused_convnext_apply
+        # Regression check (VERDICT r2 item 6): the int8 whole-block
+        # backbone + Pallas gumbel-histogram head must reproduce the
+        # PLAIN flax forward (unfused XLA backbone, one-hot argmax sum —
+        # shares no code with the Pallas kernels) under IDENTICAL gumbel
+        # noise, drawn once externally and fed to both paths.
+        small = x[:32]
+        noise_key = jax.random.PRNGKey(9)
 
         @jax.jit
-        def _infer_bf16(params, x, seed):
-            feats = fused_convnext_apply(params["backbone"], x,
-                                         stride_threshold=100, num_stages=7)
-            counts = gumbel_hard_counts(feats, seed)
+        def _infer_flax_ref(params, x):
+            feats = model.backbone.apply(
+                {"params": params["backbone"]}, x, deterministic=True)
+            noise = jax.random.gumbel(noise_key, feats.shape, jnp.float32)
+            y = jax.nn.softmax(feats.astype(jnp.float32) + noise, axis=-1)
+            onehot = jax.nn.one_hot(jnp.argmax(y, axis=-1),
+                                    feats.shape[-1], axis=-1)
+            counts = jnp.sum(onehot, axis=(1, 2))
             clamped = jnp.clip(jnp.round(counts), 0.0, 3.0)
             enc = create_modified_encoding(clamped, 3)
             enc = enc.reshape(enc.shape[0], -1)
             w = params["classification"]["weight"]
             return clamped, enc @ jax.nn.relu(w).T
 
-        small = x[:32]
-        c_q, o_q = jax.device_get(_infer_seeded(params, small, 9))
-        c_r, o_r = jax.device_get(_infer_bf16(params, small, 9))
+        @jax.jit
+        def _infer_int8_samenoise(params, x):
+            feats = fused_block_convnext_apply(
+                params["backbone"], x, stride_threshold=100, num_stages=7)
+            noise = jax.random.gumbel(noise_key, feats.shape, jnp.float32)
+            counts = gumbel_hard_counts(feats, 0, noise=noise)
+            clamped = jnp.clip(jnp.round(counts), 0.0, 3.0)
+            enc = create_modified_encoding(clamped, 3)
+            enc = enc.reshape(enc.shape[0], -1)
+            w = params["classification"]["weight"]
+            return clamped, enc @ jax.nn.relu(w).T
+
+        c_q, o_q = jax.device_get(_infer_int8_samenoise(params, small))
+        c_r, o_r = jax.device_get(_infer_flax_ref(params, small))
         count_agree = float(np.mean(c_q == c_r))
-        top1_agree = float(np.mean(o_q.argmax(-1) == o_r.argmax(-1)))
-        assert count_agree > 0.99 and top1_agree > 0.99, (
-            f"int8 path diverged: counts {count_agree}, top1 {top1_agree}")
+        # top-1 of RANDOM-init weights is argmax over near-uniform logits
+        # — pure tie-flip noise; assert the logits themselves instead
+        # (with a trained model top-1 agreement follows from these two).
+        logit_rel = float(np.abs(o_q - o_r).max()
+                          / (np.abs(o_r).max() + 1e-9))
+        assert count_agree > 0.99 and logit_rel < 0.05, (
+            f"int8+pallas-head diverged from plain flax: "
+            f"counts {count_agree}, logit rel err {logit_rel}")
+
+        # Structural sanity of the on-core PRNG path (absorbed from
+        # scripts/validate_gumbel_head.py): counts sum to the patch
+        # count, same seed reproduces, different seed differs.
+        feats_s = jnp.asarray(np.random.default_rng(1).normal(
+            size=(8, 26, 26, 200)).astype(np.float32))
+        gh = jax.jit(lambda v, s: gumbel_hard_counts(v, s))
+        c1 = jax.device_get(gh(feats_s, 7))
+        assert np.allclose(c1.sum(axis=1), 676.0)
+        assert np.array_equal(c1, jax.device_get(gh(feats_s, 7)))
+        assert not np.array_equal(c1, jax.device_get(gh(feats_s, 8)))
 
     imgs_per_sec = batch * iters / dt
     print(json.dumps({
