@@ -53,6 +53,28 @@ BASE_COLORS = {
     "cross": (50, 200, 200),
 }
 
+# Named palette for the flagship 200-class variant: class identity is a
+# (shape, color, count) triple — prototypes should learn the 40
+# (shape, color) pairs, classes are discriminated by COUNT, exercising
+# the Count-PIPNet mechanism at CUB-200 scale (224^2, 200 classes).
+COLOR_PALETTE = {
+    "red": (200, 40, 40), "green": (40, 170, 40), "blue": (40, 60, 200),
+    "yellow": (210, 200, 40), "purple": (140, 40, 180),
+    "orange": (230, 130, 30), "cyan": (40, 190, 190),
+    "magenta": (200, 40, 160), "brown": (130, 90, 40),
+    "gray": (120, 120, 120),
+}
+
+
+def build_flagship_classes():
+    """4 shapes x 10 colors x counts 1..5 = 200 (shape, count, color)."""
+    out = []
+    for shape in ("circle", "square", "triangle", "hexagon"):
+        for color in COLOR_PALETTE:
+            for count in range(1, 6):
+                out.append((shape, count, color))
+    return out
+
 
 def _regular_polygon(cx, cy, radius, n_sides, rotation_deg):
     pts = []
@@ -96,8 +118,9 @@ class GeometricShapesGenerator:
         return tuple(int(v * factor) for v in color)
 
     def _draw_shape(self, draw: ImageDraw.ImageDraw, shape: str,
-                    cx: float, cy: float, size: float, rotation: float):
-        color = self._jitter_color(BASE_COLORS[shape])
+                    cx: float, cy: float, size: float, rotation: float,
+                    base_color=None):
+        color = self._jitter_color(base_color or BASE_COLORS[shape])
         outline = self._darker(color)
         w = self.config["outline_width"]
         r = size / 2.0
@@ -142,8 +165,10 @@ class GeometricShapesGenerator:
             boxes.append(box)
         return placed
 
-    def generate_image(self, shape: str, count: int) -> Image.Image:
+    def generate_image(self, shape: str, count: int,
+                       color_name=None) -> Image.Image:
         c = self.config
+        base_color = COLOR_PALETTE[color_name] if color_name else None
         if c["noise_level"] > 0:
             bg = self.np_rng.integers(
                 255 - c["noise_level"], 256,
@@ -156,7 +181,8 @@ class GeometricShapesGenerator:
         for cx, cy, size in self._place_objects(count):
             rotation = self.rng.uniform(-c["max_rotation"],
                                         c["max_rotation"])
-            self._draw_shape(draw, shape, cx, cy, size, rotation)
+            self._draw_shape(draw, shape, cx, cy, size, rotation,
+                             base_color=base_color)
         return img
 
     # -- dataset ------------------------------------------------------------
@@ -171,13 +197,16 @@ class GeometricShapesGenerator:
                   else c["test_samples_per_class"])
         class_defs = c["class_definitions"]
         print(f"Generating dataset with {len(class_defs)} classes...")
-        for i, (shape, count) in enumerate(class_defs, start=1):
+        for i, cdef in enumerate(class_defs, start=1):
+            shape, count = cdef[0], cdef[1]
+            color = cdef[2] if len(cdef) > 2 else None
+            tag = f"{shape}_{color}_{count}" if color else                 f"{shape}_{count}"
             for split, n in (("train", n_train), ("test", n_test)):
                 cdir = os.path.join(self.output_dir, split, f"class_{i}")
                 os.makedirs(cdir, exist_ok=True)
                 for j in range(n):
-                    img = self.generate_image(shape, count)
-                    img.save(os.path.join(cdir, f"{shape}_{count}_{j}.png"))
+                    img = self.generate_image(shape, count, color)
+                    img.save(os.path.join(cdir, f"{tag}_{j}.png"))
         print(f"Dataset written to {self.output_dir}")
 
     def visualize_grid(self, path: str, per_class: int = 3):
@@ -186,9 +215,12 @@ class GeometricShapesGenerator:
         cell = 96
         grid = Image.new(
             "RGB", (cell * per_class, cell * len(class_defs)), "white")
-        for row, (shape, count) in enumerate(class_defs):
+        for row, cdef in enumerate(class_defs):
+            shape, count = cdef[0], cdef[1]
+            color = cdef[2] if len(cdef) > 2 else None
             for col in range(per_class):
-                img = self.generate_image(shape, count).resize((cell, cell))
+                img = self.generate_image(shape, count, color) \
+                    .resize((cell, cell))
                 grid.paste(img, (col * cell, row * cell))
         grid.save(path)
 
@@ -207,14 +239,22 @@ def main(argv=None):
                    default=DEFAULT_CONFIG["noise_level"])
     p.add_argument("--seed", type=int, default=DEFAULT_CONFIG["seed"])
     p.add_argument("--viz_only", action="store_true")
+    p.add_argument("--flagship200", action="store_true",
+                   help="200-class (shape x color x count<=5) variant "
+                        "for CUB-200-scale runs")
     args = p.parse_args(argv)
 
-    gen = GeometricShapesGenerator({
+    cfg = {
         "output_dir": args.output_dir, "img_size": args.img_size,
         "train_samples_per_class": args.train_samples_per_class,
         "test_samples_per_class": args.test_samples_per_class,
         "noise_level": args.noise_level, "seed": args.seed,
-    })
+    }
+    if args.flagship200:
+        cfg["class_definitions"] = build_flagship_classes()
+        # counts up to 5 need room: slightly smaller objects
+        cfg["size_mean"], cfg["size_std"] = 15, 3
+    gen = GeometricShapesGenerator(cfg)
     if args.viz_only:
         gen.visualize_grid(os.path.join(
             os.path.dirname(args.output_dir) or ".", "shapes_grid.png"))

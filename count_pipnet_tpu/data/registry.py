@@ -161,6 +161,10 @@ DATASET_RECIPES = {
         "data/geometric_shapes/dataset/train",
         "data/geometric_shapes/dataset/train",
         "data/geometric_shapes/dataset/test", None, None, False)),
+    "shapes_200": (lambda s: _shapes_recipe(s, True), (
+        "data/shapes_200/dataset/train",
+        "data/shapes_200/dataset/train",
+        "data/shapes_200/dataset/test", None, None, False)),
     "geometric_shapes_gaussian_noise": (lambda s: _shapes_recipe(s, True), (
         "data/geometric_shapes_no_noise/dataset/train",
         "data/geometric_shapes_no_noise/dataset/train",
