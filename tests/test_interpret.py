@@ -217,3 +217,33 @@ class TestSaliency:
         assert g.shape == (8, 8) and g.min() >= 0 and g.max() <= 1
         d = visualize_diverging(attr)
         assert d.min() >= -1 and d.max() <= 1
+
+
+class TestInterpExplorer:
+    """Self-contained interactive class<->prototype explorer
+    (notebooks/interp_explorer.py): valid embedded matrix, class list,
+    and hover/click handlers with no external dependencies."""
+
+    def test_html_self_contained(self):
+        import json
+        import re
+        import sys
+        sys.path.insert(0, "/root/repo")
+        from notebooks.interp_explorer import build_explorer
+
+        run_dir = "/root/repo/runs/sweep_r2/onehot_seed1_20260816_231438"
+        if not os.path.exists(os.path.join(run_dir, "metadata",
+                                           "args.pickle")):
+            pytest.skip("no committed trained run available")
+        out = build_explorer(run_dir)
+        html = open(out).read()
+        assert "<script src" not in html  # no CDN/external scripts
+        w = json.loads(re.search(r"const W = (\[\[.*?\]\]);",
+                                 html, re.S).group(1))
+        classes = json.loads(re.search(r"const classNames = (\[.*?\]);",
+                                       html, re.S).group(1))
+        assert len(w) == len(classes) > 0
+        assert len(w[0]) > 0
+        for frag in ("addEventListener('mousemove'",
+                     "addEventListener('click'", "<select id=\"cls\">"):
+            assert frag in html, frag
