@@ -157,6 +157,7 @@ def fused_block_convnext_apply(params: Dict, x, *,
                                int8_min_dim: int = 384,
                                int8_downsample: bool = False,
                                dw_bf16: bool = False,
+                               padded_planes: bool = True,
                                interpret: bool = False):
     """Serving forward with ONE Pallas kernel per ConvNeXt block
     (ops/pallas/fused_block.py: dwconv + LN + MLP + layer-scale +
@@ -211,18 +212,38 @@ def fused_block_convnext_apply(params: Dict, x, *,
         if feat_idx > num_stages:
             break
         b, hh, ww, c = h.shape
-        flat = h.reshape(b, hh * ww, c)
         use_int8 = c >= int8_min_dim
-        for j in range(n_blocks):
-            blk = params[f"features_{feat_idx}_block_{j}"]
-            flat = fused_block_apply(
-                flat, hh, ww, blk["dwconv"]["kernel"],
-                blk["dwconv"]["bias"], blk["norm"]["scale"],
-                blk["norm"]["bias"], blk["pw1"]["kernel"],
-                blk["pw1"]["bias"], blk["pw2"]["kernel"],
-                blk["pw2"]["bias"], blk["layer_scale"],
-                int8=use_int8, dw_bf16=dw_bf16, interpret=interpret)
-        h = flat.reshape(b, hh, ww, c)
+        if padded_planes:
+            # zero-padded plane layout: vertical dwconv taps become
+            # aligned static slices, horizontal rolls need no masks
+            # (ops/pallas/fused_block.py:_dwconv_pad; bit-identical,
+            # measured -12% on stage-1 blocks / -4% on stage 3)
+            from ..ops.pallas.fused_block import (
+                fused_block_apply_padded, pad_planes, unpad_planes,
+            )
+            xp = pad_planes(h)
+            for j in range(n_blocks):
+                blk = params[f"features_{feat_idx}_block_{j}"]
+                xp = fused_block_apply_padded(
+                    xp, hh, ww, blk["dwconv"]["kernel"],
+                    blk["dwconv"]["bias"], blk["norm"]["scale"],
+                    blk["norm"]["bias"], blk["pw1"]["kernel"],
+                    blk["pw1"]["bias"], blk["pw2"]["kernel"],
+                    blk["pw2"]["bias"], blk["layer_scale"],
+                    int8=use_int8, interpret=interpret)
+            h = unpad_planes(xp, hh, ww)
+        else:
+            flat = h.reshape(b, hh * ww, c)
+            for j in range(n_blocks):
+                blk = params[f"features_{feat_idx}_block_{j}"]
+                flat = fused_block_apply(
+                    flat, hh, ww, blk["dwconv"]["kernel"],
+                    blk["dwconv"]["bias"], blk["norm"]["scale"],
+                    blk["norm"]["bias"], blk["pw1"]["kernel"],
+                    blk["pw1"]["bias"], blk["pw2"]["kernel"],
+                    blk["pw2"]["bias"], blk["layer_scale"],
+                    int8=use_int8, dw_bf16=dw_bf16, interpret=interpret)
+            h = flat.reshape(b, hh, ww, c)
         feat_idx += 1
     return h
 

@@ -190,8 +190,20 @@ class CheckpointManager:
         return True
 
     # -- load ---------------------------------------------------------------
-    def _find(self, names):
-        for d in self.search_dirs:
+    def _find(self, names, own_first: bool = False):
+        """Search the checkpoint dirs for the first existing name.
+
+        ``own_first``: prefer the run's OWN log_dir/checkpoints over the
+        shared ``pretrained_checkpoints_dir``. The reference searches the
+        shared dir first for every role (checkpoint_manager.py:35-41),
+        but its shared dirs hold only ``net_pretrained``; ours may be a
+        full donor run dir whose ``net_best``/``net_trained_last`` would
+        shadow this run's own (a different model variant entirely).
+        """
+        dirs = self.search_dirs
+        if own_first:
+            dirs = list(reversed(dirs))
+        for d in dirs:
             for name in names:
                 path = os.path.join(d, name)
                 if os.path.exists(path):
@@ -221,14 +233,14 @@ class CheckpointManager:
 
     def load_trained_checkpoint(self, target_state=None,
                                 name="net_trained_last"):
-        path = self._find([name])
+        path = self._find([name], own_first=True)
         if path is None:
             return None
         print(f"Resuming from checkpoint: {path}", flush=True)
         return _load_file(path, target_state)
 
     def load_best_checkpoint(self, target_state=None):
-        path = self._find(["net_best"])
+        path = self._find(["net_best"], own_first=True)
         if path is None:
             return None
         return _load_file(path, target_state)

@@ -193,3 +193,37 @@ class TestPartialPretrainedRestore:
         np.testing.assert_allclose(
             state["params"]["backbone"]["features_0"]["conv"]["kernel"],
             saved["backbone"]["features_0"]["conv"]["kernel"])
+
+
+class TestDonorDirShadowing:
+    """A shared pretrained_checkpoints_dir pointing at a FULL donor run
+    (as the sweep runner does) must not shadow this run's own
+    net_best / net_trained_last: those roles are per-run artifacts.
+    Regression for the round-3 sweep bug where every variant's final
+    best-model reload loaded the onehot donor's checkpoint."""
+
+    def test_best_prefers_own_run(self, tmp_path):
+        donor_args = Args(str(tmp_path / "donor"))
+        Log(donor_args.log_dir)
+        cm_donor = CheckpointManager(donor_args)
+        cm_donor.save_best_checkpoint(fake_params(scale=7.0), {}, {}, 97,
+                                      0.97)
+
+        run_args = Args(str(tmp_path / "run"))
+        run_args.pretrained_checkpoints_dir = donor_args.log_dir
+        Log(run_args.log_dir)
+        cm = CheckpointManager(run_args)
+        cm.save_best_checkpoint(fake_params(scale=2.0), {}, {}, 12, 0.5)
+
+        state, meta = cm.load_best_checkpoint()
+        assert meta["epoch"] == 12
+        w = np.asarray(state["params"]["classification"]["weight"])
+        assert np.all(w == 2.0)
+
+        # the donor best remains reachable only when the run has none
+        run2 = Args(str(tmp_path / "run2"))
+        run2.pretrained_checkpoints_dir = donor_args.log_dir
+        Log(run2.log_dir)
+        cm2 = CheckpointManager(run2)
+        state2, meta2 = cm2.load_best_checkpoint()
+        assert meta2["epoch"] == 97

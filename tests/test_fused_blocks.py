@@ -266,3 +266,74 @@ class TestPallasMlpBackward:
             np.abs(dx_r).max() + 1e-6)
         assert np.abs(np.asarray(dw1) - np.asarray(dw1_r)).max() < 2e-2 * (
             np.abs(np.asarray(dw1_r)).max() + 1e-6)
+
+
+class TestPaddedPlaneBlocks:
+    """Zero-padded plane layout (fused_block_apply_padded): bit-level
+    agreement with the roll+mask kernel in both bf16 and int8 modes, and
+    the serving forward's padded path vs the flat path."""
+
+    def _params(self, c, rng):
+        hdim = 4 * c
+        return dict(
+            dwk=rng.normal(size=(7, 7, 1, c)).astype(np.float32) * 0.1,
+            dwb=rng.normal(size=(c,)).astype(np.float32) * 0.01,
+            lns=(1 + rng.normal(size=(c,)) * 0.01).astype(np.float32),
+            lnb=rng.normal(size=(c,)).astype(np.float32) * 0.01,
+            w1=rng.normal(size=(c, hdim)).astype(np.float32) * 0.05,
+            b1=rng.normal(size=(hdim,)).astype(np.float32) * 0.01,
+            w2=rng.normal(size=(hdim, c)).astype(np.float32) * 0.05,
+            b2=rng.normal(size=(c,)).astype(np.float32) * 0.01,
+            g=np.full((c,), 1e-2, np.float32),
+        )
+
+    @pytest.mark.parametrize("int8", [False, True])
+    @pytest.mark.parametrize("hw", [(9, 9), (6, 11)])
+    def test_padded_matches_flat(self, int8, hw):
+        from count_pipnet_tpu.ops.pallas.fused_block import (
+            fused_block_apply, fused_block_apply_padded, pad_planes,
+            unpad_planes,
+        )
+        h, w = hw
+        c = 16
+        rng = np.random.default_rng(0)
+        p = self._params(c, rng)
+        x4 = rng.normal(size=(2, h, w, c)).astype(np.float32)
+
+        flat = fused_block_apply(
+            jnp.asarray(x4.reshape(2, h * w, c)), h, w, p["dwk"],
+            p["dwb"], p["lns"], p["lnb"], p["w1"], p["b1"], p["w2"],
+            p["b2"], p["g"], int8=int8, interpret=True)
+        ref = np.asarray(flat, np.float32).reshape(2, h, w, c)
+
+        xp = pad_planes(jnp.asarray(x4))
+        got = fused_block_apply_padded(
+            xp, h, w, p["dwk"], p["dwb"], p["lns"], p["lnb"], p["w1"],
+            p["b1"], p["w2"], p["b2"], p["g"], int8=int8, interpret=True)
+        got4 = np.asarray(unpad_planes(got, h, w), np.float32)
+        np.testing.assert_allclose(got4, ref, atol=2e-5, rtol=1e-5)
+
+        # the zero-pad invariant must hold for chaining
+        wp = xp.shape[1] // (h + 6)
+        full = np.asarray(got, np.float32).reshape(2, h + 6, wp, c)
+        assert np.all(full[:, :3] == 0) and np.all(full[:, -3:] == 0)
+        assert np.all(full[:, 3:-3, w:] == 0)
+
+    def test_serving_forward_padded_matches_flat(self):
+        from count_pipnet_tpu.models.quantized import (
+            fused_block_convnext_apply,
+        )
+        model = convnext_tiny_26_features(num_stages=3,
+                                          dtype=jnp.float32)
+        x = jnp.asarray(np.random.default_rng(1).normal(
+            size=(2, 64, 64, 3)).astype(np.float32))
+        params = model.init({"params": jax.random.PRNGKey(0)},
+                            x[:1])["params"]
+        a = fused_block_convnext_apply(
+            params, x, num_stages=3, dtype=jnp.float32,
+            padded_planes=False, interpret=True)
+        b = fused_block_convnext_apply(
+            params, x, num_stages=3, dtype=jnp.float32,
+            padded_planes=True, interpret=True)
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   atol=2e-4, rtol=1e-4)
