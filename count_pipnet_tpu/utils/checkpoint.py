@@ -107,15 +107,18 @@ def _load_file(path: str, target=None, partial: bool = False):
         tree = serialization.msgpack_restore(f.read())
     if target is not None:
         if partial:
-            try:
-                tree = serialization.from_state_dict(target, tree)
-            except ValueError:
-                saved = tree
-                tree, loaded, skipped = _graft(target, saved)
+            # Always graft leaf-wise: ``from_state_dict`` only checks tree
+            # STRUCTURE, so an onehot checkpoint (head (K, P*max_count))
+            # restores "successfully" into an identity-intermediate model
+            # (head (K, P) — identical structure, different shape) and the
+            # mismatch only explodes later inside model.apply.
+            saved = tree
+            tree, loaded, skipped = _graft(target, saved)
+            if skipped:
                 print(f"Partial checkpoint restore: {loaded} leaves "
                       f"loaded, {skipped} kept at fresh init "
-                      f"(tree mismatch — e.g. different intermediate "
-                      f"layer)", flush=True)
+                      f"(tree/shape mismatch — e.g. different "
+                      f"intermediate layer)", flush=True)
         else:
             tree = serialization.from_state_dict(target, tree)
     meta = {}

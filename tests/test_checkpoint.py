@@ -194,6 +194,31 @@ class TestPartialPretrainedRestore:
             state["params"]["backbone"]["features_0"]["conv"]["kernel"],
             saved["backbone"]["features_0"]["conv"]["kernel"])
 
+    def test_shape_mismatch_identical_structure(self, tmp_path):
+        """Same tree STRUCTURE, one leaf with a different shape — the
+        onehot->identity sweep case (head (9,48) vs (9,16)): both have
+        parameterless intermediates, so flax's from_state_dict 'succeeds'
+        and hands back the wrong-shaped leaf. The loader must graft
+        leaf-wise and keep the fresh head."""
+        args = Args(str(tmp_path / "run3"))
+        Log(args.log_dir)
+        cm = CheckpointManager(args)
+        saved = fake_params(scale=3.0)
+        cm.save_pretrained_checkpoint(saved)
+        target_params = fake_params(scale=1.0)
+        # same keys everywhere; only the head width differs
+        target_params["classification"]["weight"] = \
+            np.ones((5, 24), np.float32)
+        target = {"params": target_params, "batch_stats": {},
+                  "opt_state": {}}
+        state, _ = cm.load_pretrained_checkpoint(target)
+        np.testing.assert_allclose(
+            state["params"]["classification"]["weight"],
+            target_params["classification"]["weight"])
+        np.testing.assert_allclose(
+            state["params"]["backbone"]["features_0"]["conv"]["kernel"],
+            saved["backbone"]["features_0"]["conv"]["kernel"])
+
 
 class TestDonorDirShadowing:
     """A shared pretrained_checkpoints_dir pointing at a FULL donor run
