@@ -158,6 +158,7 @@ def fused_block_convnext_apply(params: Dict, x, *,
                                int8_downsample: bool = False,
                                dw_bf16: bool = False,
                                padded_planes: bool = True,
+                               padded_max_dim: int = 384,
                                interpret: bool = False):
     """Serving forward with ONE Pallas kernel per ConvNeXt block
     (ops/pallas/fused_block.py: dwconv + LN + MLP + layer-scale +
@@ -213,11 +214,14 @@ def fused_block_convnext_apply(params: Dict, x, *,
             break
         b, hh, ww, c = h.shape
         use_int8 = c >= int8_min_dim
-        if padded_planes:
+        if padded_planes and c <= padded_max_dim:
             # zero-padded plane layout: vertical dwconv taps become
             # aligned static slices, horizontal rolls need no masks
             # (ops/pallas/fused_block.py:_dwconv_pad; bit-identical,
-            # measured -12% on stage-1 blocks / -4% on stage 3)
+            # measured -12% on stage-1 blocks / -4% on stage 3).
+            # NOT at stage-4 width: the pad rows are +23% there and the
+            # [*, (26+6)*32, 768] blocks exceed the 16 MB scoped-VMEM
+            # limit (measured compile OOM on v5e).
             from ..ops.pallas.fused_block import (
                 fused_block_apply_padded, pad_planes, unpad_planes,
             )
