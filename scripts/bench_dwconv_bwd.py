@@ -52,8 +52,18 @@ def main():
         t_f = timeit(dw, x, k)
         t_dx = timeit(lambda xx: jax.vjp(lambda v: dw(v, k), xx)[1](g), x)
         t_dk = timeit(lambda kk: jax.vjp(lambda v: dw(x, v), kk)[1](g), k)
+
+        from count_pipnet_tpu.ops.pallas.dwconv_bwd import dwconv7_wgrad
+        t_pk = timeit(lambda xx, gg: dwconv7_wgrad(xx, gg), x, g)
+        # numerical check against the XLA wgrad
+        dk_ref = jax.vjp(lambda v: dw(x, v), k)[1](g)[0]
+        dk_p, _ = dwconv7_wgrad(x, g)
+        err = float(jnp.max(jnp.abs(
+            dk_p - dk_ref.astype(jnp.float32))) /
+            (float(jnp.max(jnp.abs(dk_ref))) + 1e-9))
         print(f"{label}: fwd {t_f*1e3:6.2f}  dgrad {t_dx*1e3:6.2f}  "
-              f"wgrad {t_dk*1e3:6.2f} ms", flush=True)
+              f"wgrad {t_dk*1e3:6.2f}  pallas-wgrad {t_pk*1e3:6.2f} ms  "
+              f"(rel err {err:.2e})", flush=True)
 
 
 if __name__ == "__main__":
