@@ -152,9 +152,13 @@ def fused_mlp_bwd(x, g, ln_scale, ln_bias, w1, b1, w2, b2, gamma, *,
     c = orig_shape[-1]
     hdim = w1.shape[1]
     if row_tile is None:
-        # VMEM budget: resident bf16 weights 4*c*hdim bytes + ~5 live f32
-        # [R, hdim] intermediates; c=768 at R=256 hits the 16 MB limit
-        row_tile = ROW_TILE if c <= 384 else ROW_TILE // 2
+        # VMEM budget: resident bf16 weights 4*c*hdim bytes + f32 weight
+        # -grad accumulators 8*c*hdim + ~5 live f32 [R, hdim]
+        # intermediates. c=384 at R=256 measured 16.42 MB scoped — 432 KB
+        # OVER the 16 MB limit at some grid sizes (the flagship pretrain
+        # batch 96 two-view crashed; batch 64 two-view happened to fit) —
+        # so every c >= 384 runs R=128.
+        row_tile = ROW_TILE if c < 384 else ROW_TILE // 2
     rows = 1
     for d in orig_shape[:-1]:
         rows *= d
