@@ -28,7 +28,7 @@ from .convnext import CONVNEXT_TINY_STAGES
 
 __all__ = ["quantize_convnext_params", "quant_convnext_apply",
            "int8_rowwise_matmul", "fused_convnext_apply",
-           "fused_block_convnext_apply"]
+           "fused_block_convnext_apply", "calibrate_act_scales"]
 
 
 def _quantize_weight(kernel):
@@ -149,6 +149,63 @@ def fused_convnext_apply(params: Dict, x, *, stride_threshold: int = 100,
     return h
 
 
+def calibrate_act_scales(params: Dict, x, *, stride_threshold: int = 100,
+                         num_stages: int = 7,
+                         stage_settings=CONVNEXT_TINY_STAGES,
+                         margin: float = 1.0) -> Dict:
+    """Per-block activation calibration for the STATIC int8 serving mode.
+
+    Runs an f32 XLA forward mirroring :func:`fused_block_convnext_apply`
+    and records, for every block, the per-channel abs-max of the two int8
+    GEMM inputs (LayerNorm output [C] and GELU output [4C]). The returned
+    dict {block_scope: (amax_ln, amax_gelu)} feeds the kernels'
+    static-quantization path, which replaces the per-row dynamic
+    lane-reduce+divide with one broadcast multiply (the scales themselves
+    are folded into the weight quantization —
+    ops/pallas/fused_block.py:quantize_block_weights_folded).
+
+    ``margin`` head-rooms the maxima for inputs beyond the calibration
+    batch; values past amax*margin are clipped to +-127 by the kernel.
+    """
+    scales = {}
+    stem = params["features_0"]
+    h = _conv(x, stem["conv"]["kernel"], stem["conv"]["bias"], 4,
+              jnp.float32)
+    h = _layer_norm(h, stem["norm"]["scale"], stem["norm"]["bias"])
+
+    feat_idx = 1
+    for k, (dim, n_blocks) in enumerate(stage_settings):
+        if k > 0:
+            if feat_idx > num_stages:
+                break
+            ds = params[f"features_{feat_idx}"]
+            in_ch = stage_settings[k - 1][0]
+            stride = 1 if in_ch > stride_threshold else 2
+            hn = _layer_norm(h, ds["norm"]["scale"], ds["norm"]["bias"])
+            h = _conv(hn, ds["conv"]["kernel"], ds["conv"]["bias"], stride,
+                      jnp.float32)
+            feat_idx += 1
+        if feat_idx > num_stages:
+            break
+        for j in range(n_blocks):
+            scope = f"features_{feat_idx}_block_{j}"
+            blk = params[scope]
+            y = _dwconv7(h, blk["dwconv"]["kernel"], blk["dwconv"]["bias"],
+                         jnp.float32)
+            n = _layer_norm(y, blk["norm"]["scale"], blk["norm"]["bias"])
+            hid = n @ jnp.asarray(blk["pw1"]["kernel"], jnp.float32)
+            hid = hid + jnp.asarray(blk["pw1"]["bias"], jnp.float32)
+            a = jax.nn.gelu(hid, approximate=True)
+            out = a @ jnp.asarray(blk["pw2"]["kernel"], jnp.float32)
+            out = out + jnp.asarray(blk["pw2"]["bias"], jnp.float32)
+            h = h + out * jnp.asarray(blk["layer_scale"], jnp.float32)
+            red = tuple(range(n.ndim - 1))
+            scales[scope] = (jnp.max(jnp.abs(n), axis=red) * margin,
+                             jnp.max(jnp.abs(a), axis=red) * margin)
+        feat_idx += 1
+    return scales
+
+
 def fused_block_convnext_apply(params: Dict, x, *,
                                stride_threshold: int = 100,
                                num_stages: int = 7,
@@ -159,6 +216,7 @@ def fused_block_convnext_apply(params: Dict, x, *,
                                dw_bf16: bool = False,
                                padded_planes: bool = True,
                                padded_max_dim: int = 384,
+                               act_scales: Dict = None,
                                interpret: bool = False):
     """Serving forward with ONE Pallas kernel per ConvNeXt block
     (ops/pallas/fused_block.py: dwconv + LN + MLP + layer-scale +
@@ -227,26 +285,32 @@ def fused_block_convnext_apply(params: Dict, x, *,
             )
             xp = pad_planes(h)
             for j in range(n_blocks):
-                blk = params[f"features_{feat_idx}_block_{j}"]
+                scope = f"features_{feat_idx}_block_{j}"
+                blk = params[scope]
                 xp = fused_block_apply_padded(
                     xp, hh, ww, blk["dwconv"]["kernel"],
                     blk["dwconv"]["bias"], blk["norm"]["scale"],
                     blk["norm"]["bias"], blk["pw1"]["kernel"],
                     blk["pw1"]["bias"], blk["pw2"]["kernel"],
                     blk["pw2"]["bias"], blk["layer_scale"],
-                    int8=use_int8, interpret=interpret)
+                    int8=use_int8,
+                    act_scales=(act_scales or {}).get(scope),
+                    interpret=interpret)
             h = unpad_planes(xp, hh, ww)
         else:
             flat = h.reshape(b, hh * ww, c)
             for j in range(n_blocks):
-                blk = params[f"features_{feat_idx}_block_{j}"]
+                scope = f"features_{feat_idx}_block_{j}"
+                blk = params[scope]
                 flat = fused_block_apply(
                     flat, hh, ww, blk["dwconv"]["kernel"],
                     blk["dwconv"]["bias"], blk["norm"]["scale"],
                     blk["norm"]["bias"], blk["pw1"]["kernel"],
                     blk["pw1"]["bias"], blk["pw2"]["kernel"],
                     blk["pw2"]["bias"], blk["layer_scale"],
-                    int8=use_int8, dw_bf16=dw_bf16, interpret=interpret)
+                    int8=use_int8,
+                    act_scales=(act_scales or {}).get(scope),
+                    dw_bf16=dw_bf16, interpret=interpret)
             h = flat.reshape(b, hh, ww, c)
         feat_idx += 1
     return h

@@ -42,8 +42,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["fused_block_apply", "fused_block_apply_padded",
-           "quantize_block_weights", "fused_block_ad",
-           "pad_planes", "unpad_planes", "plane_colmask"]
+           "quantize_block_weights", "quantize_block_weights_folded",
+           "fused_block_ad", "pad_planes", "unpad_planes",
+           "plane_colmask"]
 
 K = 7
 PAD = 3
@@ -160,6 +161,17 @@ def _quant_rows(x):
     return jnp.round(x / scale).astype(jnp.int8), scale
 
 
+def _quant_static(x, inv):
+    """Static-scale quantization: one broadcast multiply + clip instead of
+    the per-row lane reduce + divide of :func:`_quant_rows` (the reduce is
+    ~0.9 ms/block of VPU time at stage 3, BENCH_NOTES.md round 3). ``inv``
+    is the calibrated per-channel 127/amax row vector; the matching
+    per-channel scales are folded into the weight quantization
+    (:func:`quantize_block_weights_folded`), so dequantization needs only
+    the weight scale."""
+    return jnp.round(jnp.clip(x * inv, -127.0, 127.0)).astype(jnp.int8)
+
+
 def _kernel_bf16(x_ref, dwk_ref, dwb_ref, lns_ref, lnb_ref, w1_ref, b1_ref,
                  w2_ref, b2_ref, g_ref, out_ref, *, h, w, eps, tap_dtype):
     # bt images per grid step: dwconv runs per image (2-D rolls), then
@@ -198,6 +210,28 @@ def _kernel_int8(x_ref, dwk_ref, dwb_ref, lns_ref, lnb_ref, w1_ref, s1_ref,
     aq, asc = _quant_rows(a)
     y = jnp.dot(aq, w2_ref[:], preferred_element_type=jnp.int32)
     y = y.astype(jnp.float32) * asc * s2_ref[:] + b2_ref[:]
+    hw = h * w
+    for i in range(bt):
+        out_ref[i] = (x32s[i] + y[i * hw:(i + 1) * hw] * g_ref[:]) \
+            .astype(out_ref.dtype)
+
+
+def _kernel_int8_static(x_ref, dwk_ref, dwb_ref, lns_ref, lnb_ref, w1_ref,
+                        s1_ref, b1_ref, i1_ref, w2_ref, s2_ref, b2_ref,
+                        i2_ref, g_ref, out_ref, *, h, w, eps, tap_dtype):
+    bt = x_ref.shape[0]
+    x32s = [x_ref[i].astype(jnp.float32) for i in range(bt)]
+    ds = [_dwconv_flat(x32, dwk_ref[:], dwb_ref[:], h, w,
+                       tap_dtype=tap_dtype) for x32 in x32s]
+    d = ds[0] if bt == 1 else jnp.concatenate(ds, axis=0)
+    n = _layer_norm_rows(d, lns_ref[:], lnb_ref[:], eps)
+    nq = _quant_static(n, i1_ref[:])
+    hid = jnp.dot(nq, w1_ref[:], preferred_element_type=jnp.int32)
+    hid = hid.astype(jnp.float32) * s1_ref[:] + b1_ref[:]
+    a = jax.nn.gelu(hid, approximate=True)
+    aq = _quant_static(a, i2_ref[:])
+    y = jnp.dot(aq, w2_ref[:], preferred_element_type=jnp.int32)
+    y = y.astype(jnp.float32) * s2_ref[:] + b2_ref[:]
     hw = h * w
     for i in range(bt):
         out_ref[i] = (x32s[i] + y[i * hw:(i + 1) * hw] * g_ref[:]) \
@@ -246,9 +280,33 @@ def _kernel_int8_pad(x_ref, dwk_ref, dwb_ref, lns_ref, lnb_ref, w1_ref,
     out_ref[0, padr + hwp:] = jnp.zeros((padr, c), out_ref.dtype)
 
 
+def _kernel_int8_static_pad(x_ref, dwk_ref, dwb_ref, lns_ref, lnb_ref,
+                            w1_ref, s1_ref, b1_ref, i1_ref, w2_ref, s2_ref,
+                            b2_ref, i2_ref, g_ref, cm_ref, out_ref,
+                            *, h, wp, eps):
+    hwp = h * wp
+    padr = PAD * wp
+    c = x_ref.shape[-1]
+    xp32 = x_ref[0].astype(jnp.float32)
+    d = _dwconv_pad(xp32, dwk_ref[0], dwb_ref[:], cm_ref[:], h, wp)
+    n = _layer_norm_rows(d, lns_ref[:], lnb_ref[:], eps)
+    nq = _quant_static(n, i1_ref[:])
+    hid = jnp.dot(nq, w1_ref[:], preferred_element_type=jnp.int32)
+    hid = hid.astype(jnp.float32) * s1_ref[:] + b1_ref[:]
+    a = jax.nn.gelu(hid, approximate=True)
+    aq = _quant_static(a, i2_ref[:])
+    y = jnp.dot(aq, w2_ref[:], preferred_element_type=jnp.int32)
+    y = y.astype(jnp.float32) * s2_ref[:] + b2_ref[:]
+    res = (xp32[padr:padr + hwp] + y * g_ref[:]) * cm_ref[:]
+    out_ref[0, padr:padr + hwp] = res.astype(out_ref.dtype)
+    out_ref[0, :padr] = jnp.zeros((padr, c), out_ref.dtype)
+    out_ref[0, padr + hwp:] = jnp.zeros((padr, c), out_ref.dtype)
+
+
 def fused_block_apply_padded(xp, h, w, dw_kernel, dw_bias, ln_scale,
                              ln_bias, w1, b1, w2, b2, gamma, *,
-                             int8: bool = False, eps: float = 1e-6,
+                             int8: bool = False, act_scales=None,
+                             eps: float = 1e-6,
                              interpret: bool = False):
     """Whole ConvNeXt block on zero-padded planes (see pad_planes).
 
@@ -256,7 +314,9 @@ def fused_block_apply_padded(xp, h, w, dw_kernel, dw_bias, ln_scale,
     padding only replaces rolls+masks with aligned slices), measured
     ~12% faster at stage-1 geometry and ~4% at stage 3. ``xp`` is
     [B, (H+6)*WP, C]; returns the same layout with the zero-pad
-    invariant restored for chaining.
+    invariant restored for chaining. ``act_scales``: optional
+    (amax_ln [C], amax_gelu [4C]) calibrated activation maxima — switches
+    the int8 path to static quantization (see :func:`_quant_static`).
     """
     b, tot, c = xp.shape
     wp = _wp_for(w)
@@ -276,7 +336,20 @@ def fused_block_apply_padded(xp, h, w, dw_kernel, dw_bias, ln_scale,
                      memory_space=space),
     ]
     args = [xp, dwk, vec(dw_bias, c), vec(ln_scale, c), vec(ln_bias, c)]
-    if int8:
+    if int8 and act_scales is not None:
+        w1q, s1, i1 = quantize_block_weights_folded(w1, act_scales[0])
+        w2q, s2, i2 = quantize_block_weights_folded(w2, act_scales[1])
+        kern = functools.partial(_kernel_int8_static_pad, h=h, wp=wp,
+                                 eps=eps)
+        in_specs = common + [
+            pl.BlockSpec(s, rep, memory_space=space)
+            for s in [(1, c), (1, c), (1, c), (c, hdim), (1, hdim),
+                      (1, hdim), (1, c), (hdim, c), (1, c), (1, c),
+                      (1, hdim), (1, c)]] + [
+            pl.BlockSpec((hwp, 1), rep, memory_space=space)]
+        args += [w1q, s1, vec(b1, hdim), i1, w2q, s2, vec(b2, c), i2,
+                 vec(gamma, c), cm]
+    elif int8:
         w1q, s1 = quantize_block_weights(w1)
         w2q, s2 = quantize_block_weights(w2)
         kern = functools.partial(_kernel_int8_pad, h=h, wp=wp, eps=eps)
@@ -321,10 +394,28 @@ def quantize_block_weights(kernel):
     return q, scale.astype(jnp.float32)
 
 
+def quantize_block_weights_folded(kernel, act_amax):
+    """Weight quantization for the STATIC activation-scale mode.
+
+    The calibrated per-input-channel activation scale ``amax_k/127`` is
+    folded into the weight before per-output-channel quantization, so
+    ``acc * wscale`` alone dequantizes the int8 GEMM:
+
+        sum_k x_k w_kn  ~=  wscale_n * sum_k round(x_k*127/amax_k) q_kn
+
+    Returns (int8 [C, H], f32 wscale [1, H], f32 inv [1, C] = 127/amax).
+    """
+    amax = jnp.maximum(jnp.asarray(act_amax, jnp.float32).reshape(-1),
+                       1e-9)
+    k = jnp.asarray(kernel, jnp.float32) * (amax / 127.0)[:, None]
+    q, scale = quantize_block_weights(k)
+    return q, scale, (127.0 / amax).reshape(1, -1)
+
+
 def fused_block_apply(x, h, w, dw_kernel, dw_bias, ln_scale, ln_bias,
                       w1, b1, w2, b2, gamma, *, int8: bool = False,
-                      dw_bf16: bool = False, batch_tile: int = 1,
-                      eps: float = 1e-6,
+                      act_scales=None, dw_bf16: bool = False,
+                      batch_tile: int = 1, eps: float = 1e-6,
                       interpret: bool = False):
     """Whole ConvNeXt block on flattened planes.
 
@@ -365,7 +456,26 @@ def fused_block_apply(x, h, w, dw_kernel, dw_bias, ln_scale, ln_bias,
     vec = lambda v, n: jnp.asarray(v, jnp.float32).reshape(1, n)
     args = [x, dwk, vec(dw_bias, c), vec(ln_scale, c), vec(ln_bias, c)]
 
-    if int8:
+    if int8 and act_scales is not None:
+        w1q, s1, i1 = quantize_block_weights_folded(w1, act_scales[0])
+        w2q, s2, i2 = quantize_block_weights_folded(w2, act_scales[1])
+        kern = functools.partial(
+            _kernel_int8_static, h=h, w=w, eps=eps,
+            tap_dtype=jnp.bfloat16 if dw_bf16 else jnp.float32)
+        in_specs = common_in + small + [
+            pl.BlockSpec((c, hdim), rep, memory_space=space),
+            pl.BlockSpec((1, hdim), rep, memory_space=space),
+            pl.BlockSpec((1, hdim), rep, memory_space=space),
+            pl.BlockSpec((1, c), rep, memory_space=space),
+            pl.BlockSpec((hdim, c), rep, memory_space=space),
+            pl.BlockSpec((1, c), rep, memory_space=space),
+            pl.BlockSpec((1, c), rep, memory_space=space),
+            pl.BlockSpec((1, hdim), rep, memory_space=space),
+            pl.BlockSpec((1, c), rep, memory_space=space),
+        ]
+        args += [w1q, s1, vec(b1, hdim), i1, w2q, s2, vec(b2, c), i2,
+                 vec(gamma, c)]
+    elif int8:
         w1q, s1 = quantize_block_weights(w1)
         w2q, s2 = quantize_block_weights(w2)
         kern = functools.partial(

@@ -337,3 +337,86 @@ class TestPaddedPlaneBlocks:
             padded_planes=True, interpret=True)
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    atol=2e-4, rtol=1e-4)
+
+
+class TestStaticActScales:
+    """Static (calibrated) activation-scale int8 mode: per-channel scales
+    folded into the weight quantization replace the per-row dynamic
+    lane-reduce (ops/pallas/fused_block.py:_quant_static)."""
+
+    def _params(self, c, rng):
+        hdim = 4 * c
+        return dict(
+            dwk=rng.normal(size=(7, 7, 1, c)).astype(np.float32) * 0.1,
+            dwb=rng.normal(size=(c,)).astype(np.float32) * 0.01,
+            lns=(1 + rng.normal(size=(c,)) * 0.01).astype(np.float32),
+            lnb=rng.normal(size=(c,)).astype(np.float32) * 0.01,
+            w1=rng.normal(size=(c, hdim)).astype(np.float32) * 0.05,
+            b1=rng.normal(size=(hdim,)).astype(np.float32) * 0.01,
+            w2=rng.normal(size=(hdim, c)).astype(np.float32) * 0.05,
+            b2=rng.normal(size=(c,)).astype(np.float32) * 0.01,
+            g=np.full((c,), 1e-2, np.float32),
+        )
+
+    def test_static_close_to_bf16_and_padded_matches_flat(self):
+        from count_pipnet_tpu.ops.pallas.fused_block import (
+            fused_block_apply, fused_block_apply_padded, pad_planes,
+            unpad_planes,
+        )
+        h, w, c = 9, 9, 16
+        rng = np.random.default_rng(0)
+        p = self._params(c, rng)
+        x4 = rng.normal(size=(2, h, w, c)).astype(np.float32)
+        xf = jnp.asarray(x4.reshape(2, h * w, c))
+        common = (h, w, p["dwk"], p["dwb"], p["lns"], p["lnb"], p["w1"],
+                  p["b1"], p["w2"], p["b2"], p["g"])
+
+        # calibrate on the input itself (amax of LN-out / GELU-out)
+        exact = np.asarray(
+            fused_block_apply(xf, *common, int8=False, interpret=True),
+            np.float32)
+        # crude standalone calibration: run the dynamic-int8 path's
+        # intermediates via the float body to get amaxes
+        d = jax.lax.conv_general_dilated(
+            jnp.asarray(x4), jnp.asarray(p["dwk"]), (1, 1),
+            ((3, 3), (3, 3)), dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=c) + p["dwb"]
+        mu = jnp.mean(d, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(d - mu), axis=-1, keepdims=True)
+        n = (d - mu) * jax.lax.rsqrt(var + 1e-6) * p["lns"] + p["lnb"]
+        a = jax.nn.gelu(n @ p["w1"] + p["b1"], approximate=True)
+        scales = (np.asarray(jnp.max(jnp.abs(n), axis=(0, 1, 2))),
+                  np.asarray(jnp.max(jnp.abs(a), axis=(0, 1, 2))))
+
+        flat = np.asarray(
+            fused_block_apply(xf, *common, int8=True, act_scales=scales,
+                              interpret=True), np.float32)
+        # int8 noise is residual-scaled by gamma=1e-2: stays close
+        np.testing.assert_allclose(flat, exact, atol=5e-3, rtol=5e-3)
+
+        xp = pad_planes(jnp.asarray(x4))
+        got = fused_block_apply_padded(
+            xp, *common, int8=True, act_scales=scales, interpret=True)
+        got4 = np.asarray(unpad_planes(got, h, w), np.float32) \
+            .reshape(2, h * w, c)
+        np.testing.assert_allclose(got4, flat, atol=2e-5, rtol=1e-5)
+
+    def test_calibrated_serving_forward_close(self):
+        from count_pipnet_tpu.models.quantized import (
+            calibrate_act_scales, fused_block_convnext_apply,
+        )
+        model = convnext_tiny_26_features(num_stages=3,
+                                          dtype=jnp.float32)
+        x = jnp.asarray(np.random.default_rng(1).normal(
+            size=(2, 64, 64, 3)).astype(np.float32))
+        params = model.init({"params": jax.random.PRNGKey(0)},
+                            x[:1])["params"]
+        scales = calibrate_act_scales(params, x, num_stages=3)
+        assert "features_3_block_0" in scales
+        ref = fused_block_convnext_apply(
+            params, x, num_stages=3, dtype=jnp.float32, interpret=True)
+        got = fused_block_convnext_apply(
+            params, x, num_stages=3, dtype=jnp.float32,
+            int8_min_dim=96, act_scales=scales, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=0.05, rtol=0.05)
