@@ -106,3 +106,46 @@ class TestDryrun:
         w1 = np.asarray(p1["classification"]["weight"])
         w8 = np.asarray(p8["classification"]["weight"])
         np.testing.assert_allclose(w1, w8, rtol=1e-4, atol=1e-5)
+
+
+class TestShardedServing:
+    def test_sharded_inference_matches_single_device(self):
+        """Data-parallel serving: the deterministic serving fast path
+        (make_serving_fn) over an 8-way batch-sharded mesh must produce
+        the same counts/logits as one device — the TPU-native stand-in
+        for the reference's nn.DataParallel inference (main.py:118)."""
+        from count_pipnet_tpu.models import get_count_network
+        from count_pipnet_tpu.models.serving import make_serving_fn
+
+        class Args:
+            net = "convnext_tiny_26"
+            num_features = 4
+            use_mid_layers = True
+            num_stages = 1
+            bias = False
+            activation = "softmax"
+            intermediate_layer = "onehot"
+            positive_grad_strategy = None
+            backward_clamp_strategy = "Identity"
+            disable_pretrained = True
+
+        model, _ = get_count_network(2, Args, max_count=3, use_ste=True)
+        batch, img = 16, 32
+        x0 = jnp.zeros((batch, img, img, 3), jnp.float32)
+        params = model.init({"params": jax.random.PRNGKey(0)},
+                            x0)["params"]
+        serve = jax.jit(make_serving_fn(model, use_pallas=False))
+        x = jnp.asarray(np.random.default_rng(3).normal(
+            size=(batch, img, img, 3)).astype(np.float32))
+
+        c1, o1 = serve(params, x)
+
+        mesh = make_mesh(8)
+        params8 = replicate(mesh, params)
+        (x8,) = shard_batch(mesh, (x,))
+        c8, o8 = serve(params8, x8)
+        assert len(c8.sharding.device_set) == 8
+        np.testing.assert_allclose(np.asarray(c8), np.asarray(c1),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(o8), np.asarray(o1),
+                                   rtol=1e-4, atol=1e-5)
