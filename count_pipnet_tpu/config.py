@@ -96,6 +96,11 @@ def build_parser() -> argparse.ArgumentParser:
         help="run the photometric two-view augmentation (color jitter + "
              "crop + noise + normalize) on device instead of host CPU; "
              "supported for the synthetic shapes/mnist recipes")
+    add("--cache_decoded", action="store_true",
+        help="memoize decoded training/eval images in host RAM (skips "
+             "PNG/JPEG decode after the first epoch; ~1.5 GB at 10k "
+             "224^2 images — for the synthetic datasets, not CUB-scale "
+             "native-resolution photos)")
     add("--fused_whole_blocks", action="store_true",
         help="run ENTIRE ConvNeXt blocks (dwconv included) through the "
              "whole-block Pallas kernel with an XLA-recompute backward; "

@@ -25,7 +25,8 @@ class ImageFolder:
     """Scan ``root/<class>/*`` into (path, class_idx) samples; classes are
     the sorted subdirectory names (torchvision ImageFolder contract)."""
 
-    def __init__(self, root, transform: Optional[Callable] = None):
+    def __init__(self, root, transform: Optional[Callable] = None,
+                 cache_decoded: bool = False):
         self.root = str(root)
         classes = sorted(
             d.name for d in os.scandir(self.root) if d.is_dir())
@@ -46,14 +47,30 @@ class ImageFolder:
         self.imgs = self.samples
         self.targets = [t for _, t in self.samples]
         self.transform = transform
+        # Decoded-image RAM cache (--cache_decoded): PNG/JPEG decode is a
+        # large share of per-item host time on this 1-core box; decoded
+        # frames are memoized as compact uint8 arrays (Image.fromarray on
+        # re-access is ~free). Meant for the small fixed-size synthetic
+        # datasets (~1.5 GB at 10k x 224^2); keep off for CUB-scale
+        # native-resolution photos. Dict writes are GIL-atomic, so the
+        # threaded loader at worst decodes an item twice.
+        self._cache = {} if cache_decoded else None
 
     def __len__(self):
         return len(self.samples)
 
     def load_image(self, index) -> Image.Image:
+        if self._cache is not None:
+            arr = self._cache.get(index)
+            if arr is not None:
+                return Image.fromarray(arr)
         path, _ = self.samples[index]
         with Image.open(path) as img:
-            return img.convert("RGB")
+            out = img.convert("RGB")
+        if self._cache is not None:
+            import numpy as np
+            self._cache[index] = np.asarray(out, dtype=np.uint8)
+        return out
 
     def __getitem__(self, index_and_rng):
         index, rng = _split_index(index_and_rng)

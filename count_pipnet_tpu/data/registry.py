@@ -207,13 +207,17 @@ def get_data(args, basepath="./"):
     device_aug_cfg = None
     if getattr(args, "device_augment", False):
         synth = ("geometric_shapes", "geometric_shapes_gaussian_noise",
-                 "geometric_shapes_224_gaussian_noise", "mnist_counting")
+                 "geometric_shapes_224_gaussian_noise", "mnist_counting",
+                 "shapes_200")
         if args.dataset in synth:
             from .device_augment import DeviceAugmentConfig
+            # shapes_200 uses the gaussian-noise shapes recipe
+            # (_shapes_recipe(s, True)) despite its name
+            noisy = ("gaussian_noise" in args.dataset
+                     or args.dataset == "shapes_200")
             device_aug_cfg = DeviceAugmentConfig(
                 img_size=args.image_size, brightness=0.1, contrast=0.1,
-                noise_std=(0.1 if "gaussian_noise" in args.dataset
-                           else 0.0), noise_p=0.5)
+                noise_std=(0.1 if noisy else 0.0), noise_p=0.5)
         else:
             print(f"(--device_augment unsupported for {args.dataset}; "
                   "using host augmentation)", flush=True)
@@ -223,7 +227,8 @@ def get_data(args, basepath="./"):
         # to the device, exactly ToArray's value once divided by 255)
         t2 = A.Compose([A.ToUint8Array()])
 
-    trainval = ImageFolder(base / train_d)
+    cache = getattr(args, "cache_decoded", False)
+    trainval = ImageFolder(base / train_d, cache_decoded=cache)
     classes = trainval.classes
     targets = trainval.targets
     train_indices = list(range(len(trainval)))
@@ -237,7 +242,8 @@ def get_data(args, basepath="./"):
             targets, args.validation_size, args.seed)
         testset = Subset(TransformedDataset(trainval, no_aug), test_indices)
     else:
-        testset = TransformedDataset(ImageFolder(base / test_d), no_aug)
+        testset = TransformedDataset(
+            ImageFolder(base / test_d, cache_decoded=cache), no_aug)
 
     trainset = Subset(
         TwoAugDataset(trainval, t1, t2,
@@ -249,7 +255,8 @@ def get_data(args, basepath="./"):
     both = A.Compose([t1, t2_host])
     trainset_normal_augment = Subset(TransformedDataset(trainval, both),
                                      train_indices)
-    projectset = TransformedDataset(ImageFolder(base / project_d), no_aug)
+    projectset = TransformedDataset(
+        ImageFolder(base / project_d, cache_decoded=cache), no_aug)
 
     if test_proj_d is not None:
         testset_projection = TransformedDataset(
@@ -259,7 +266,7 @@ def get_data(args, basepath="./"):
 
     trainset_pretraining = None
     if pretrain_d is not None and t1p is not None:
-        pre_base = ImageFolder(base / pretrain_d)
+        pre_base = ImageFolder(base / pretrain_d, cache_decoded=cache)
         pre_indices = list(range(len(pre_base)))
         if test_d is None:
             pre_indices, _ = stratified_split(

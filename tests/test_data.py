@@ -191,3 +191,37 @@ class TestHostLocalLoader:
                          process_index=0, process_count=2)
         with pytest.raises(ValueError, match="ragged"):
             list(ldr)
+
+
+class TestDecodedCache:
+    def test_cache_returns_identical_pixels_without_reopening(
+            self, tmp_path, monkeypatch):
+        from PIL import Image as PILImage
+        import count_pipnet_tpu.data.datasets as D
+
+        root = tmp_path / "ds"
+        (root / "class_a").mkdir(parents=True)
+        arr = (np.arange(8 * 8 * 3) % 255).astype(np.uint8) \
+            .reshape(8, 8, 3)
+        PILImage.fromarray(arr).save(root / "class_a" / "x.png")
+
+        folder = D.ImageFolder(root, cache_decoded=True)
+        first = np.asarray(folder.load_image(0))
+
+        opens = []
+        real_open = PILImage.open
+        monkeypatch.setattr(
+            D, "Image",
+            type("M", (), {"open": staticmethod(
+                lambda *a, **k: opens.append(a) or real_open(*a, **k)),
+                "fromarray": staticmethod(PILImage.fromarray)}))
+        second = np.asarray(folder.load_image(0))
+        assert not opens  # served from RAM
+        np.testing.assert_array_equal(second, first)
+        np.testing.assert_array_equal(first, arr)
+
+        # cache off: load_image reopens the file every time
+        plain = D.ImageFolder(root)
+        np.testing.assert_array_equal(
+            np.asarray(plain.load_image(0)), arr)
+        assert plain._cache is None
