@@ -54,16 +54,28 @@ def main():
         # on the whole-block Pallas backbone (one kernel per ConvNeXt
         # block, int8 MXU GEMMs in the wide stages) with the
         # on-core-PRNG gumbel-histogram head (BENCH_NOTES.md).
-        from count_pipnet_tpu.models.quantized import \
-            fused_block_convnext_apply
+        from count_pipnet_tpu.models.quantized import (
+            calibrate_act_scales, fused_block_convnext_apply,
+        )
         from count_pipnet_tpu.ops.pallas.gumbel_head import \
             gumbel_hard_counts
         from count_pipnet_tpu.ops.ste import create_modified_encoding
 
+        # Static activation scales: calibrated per-channel maxima folded
+        # into the int8 weight quantization replace the per-row dynamic
+        # lane-reduce (+4% end-to-end, BENCH_NOTES.md round 3; counts
+        # agreement with the plain flax forward asserted below).
+        x_cal = jnp.asarray(np.random.default_rng(42).normal(
+            size=(64, image, image, 3)).astype(np.float32))
+        act_scales = jax.device_get(jax.jit(
+            lambda p, v: calibrate_act_scales(p, v, num_stages=7))(
+                params["backbone"], x_cal))
+
         @jax.jit
         def _infer_seeded(params, x, seed):
             feats = fused_block_convnext_apply(
-                params["backbone"], x, stride_threshold=100, num_stages=7)
+                params["backbone"], x, stride_threshold=100, num_stages=7,
+                act_scales=act_scales)
             counts = gumbel_hard_counts(feats, seed)
             clamped = jnp.clip(jnp.round(counts), 0.0, 3.0)
             enc = create_modified_encoding(clamped, 3)
@@ -130,7 +142,8 @@ def main():
         @jax.jit
         def _infer_int8_samenoise(params, x):
             feats = fused_block_convnext_apply(
-                params["backbone"], x, stride_threshold=100, num_stages=7)
+                params["backbone"], x, stride_threshold=100, num_stages=7,
+                act_scales=act_scales)
             noise = jax.random.gumbel(noise_key, feats.shape, jnp.float32)
             counts = gumbel_hard_counts(feats, 0, noise=noise)
             clamped = jnp.clip(jnp.round(counts), 0.0, 3.0)
