@@ -10,10 +10,10 @@ This kernel runs the whole backward in ONE pallas_call per block:
 
   recompute (VPU+MXU):  n = LN(x);  h = n@w1 + b1;  a = gelu_tanh(h)
   backward   (MXU):     dy = g*gamma
-                        da = dy @ w2^T          dw2 += a^T @ dy
-                        dh = da * gelu'(h)      db2 += sum(dy)
-                        dn = dh @ w1^T          dw1 += n^T @ dh
-                                                db1 += sum(dh)
+                        da = dy @ w2^T          dw2r += a^T @ g
+                        dh = da * gelu'(h)      sg   += sum(g)
+                        dn = dh @ w1^T          dw1  += n^T @ dh
+                                                db1  += sum(dh)
   LN backward (VPU):    dls += sum(dn * xhat);  dlb += sum(dn)
                         dx = (s/sigma) * (dnh - mean(dnh)
                              - xhat * mean(dnh * xhat)),  dnh = dn * ls
@@ -22,6 +22,17 @@ The 4C-wide tensors live only in VMEM; parameter gradients accumulate
 across row tiles into constant-index-map output blocks (sequential grid).
 Transposed-operand GEMMs use dot_general dimension numbers directly so
 w1/w2 are resident once (no transposed copies).
+
+dw2/db2/dgamma are derived OUTSIDE the kernel from the raw accumulators
+(gamma is per-channel, so it factors out of the row reductions):
+
+    dw2    = gamma ⊙ dw2r            (dw2r = a^T @ g)
+    db2    = gamma ⊙ sg              (sg = Σ_r g)
+    dgamma = Σ_k dw2r[k,:]·w2[k,:] + b2 ⊙ sg
+
+The last identity replaces the forward-output recompute ``y = a@w2 + b2``
+(dgamma = Σ_r g ⊙ y) that an earlier version ran as a sixth R·C·4C GEMM
+per tile — one-sixth of the kernel's MXU work spent only on dgamma.
 
 Gradient semantics match fused_mlp._mlp_body exactly (same bf16 GEMM
 casts, tanh-GELU); validated against jax.vjp of that body in
@@ -55,8 +66,8 @@ def _gelu_tanh_and_grad(h):
 
 
 def _bwd_kernel(x_ref, g_ref, lns_ref, lnb_ref, w1_ref, b1_ref, w2_ref,
-                b2_ref, gamma_ref, dx_ref, dw1_ref, db1_ref, dw2_ref, db2_ref,
-                dls_ref, dlb_ref, dg_ref, *, eps, c):
+                gamma_ref, dx_ref, dw1_ref, db1_ref, dw2r_ref, sg_ref,
+                dls_ref, dlb_ref, *, eps, c):
     i = pl.program_id(0)
 
     x = x_ref[:].astype(jnp.float32)                       # [R, C]
@@ -77,9 +88,7 @@ def _bwd_kernel(x_ref, g_ref, lns_ref, lnb_ref, w1_ref, b1_ref, w2_ref,
     # ---- backward through the MLP ------------------------------------
     dy = g32 * gamma_ref[:]                                # [R, C]
     dyb = dy.astype(jnp.bfloat16)
-    # y = a @ w2 + b2: recompute y only for dgamma
-    y = jnp.dot(ab, w2_ref[:],
-                preferred_element_type=jnp.float32) + b2_ref[:]
+    gb = g32.astype(jnp.bfloat16)
     # da = dy @ w2^T  (contract w2's output dim)
     da = jax.lax.dot_general(
         dyb, w2_ref[:], (((1,), (1,)), ((), ())),
@@ -96,12 +105,12 @@ def _bwd_kernel(x_ref, g_ref, lns_ref, lnb_ref, w1_ref, b1_ref, w2_ref,
     dw1 = jax.lax.dot_general(
         nb, dhb, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)                # [C, 4C]
-    dw2 = jax.lax.dot_general(
-        ab, dyb, (((0,), (0,)), ((), ())),
+    # raw (gamma-free) accumulators; dw2/db2/dgamma derived by the caller
+    dw2r = jax.lax.dot_general(
+        ab, gb, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)                # [4C, C]
     db1 = jnp.sum(dh, axis=0, keepdims=True)               # [1, 4C]
-    db2 = jnp.sum(dy, axis=0, keepdims=True)               # [1, C]
-    dgamma = jnp.sum(g32 * y, axis=0, keepdims=True)       # [1, C]
+    sg = jnp.sum(g32, axis=0, keepdims=True)               # [1, C]
     dls = jnp.sum(dn * xhat, axis=0, keepdims=True)        # [1, C]
     dlb = jnp.sum(dn, axis=0, keepdims=True)               # [1, C]
 
@@ -109,21 +118,19 @@ def _bwd_kernel(x_ref, g_ref, lns_ref, lnb_ref, w1_ref, b1_ref, w2_ref,
     def _():
         dw1_ref[:] = dw1
         db1_ref[:] = db1
-        dw2_ref[:] = dw2
-        db2_ref[:] = db2
+        dw2r_ref[:] = dw2r
+        sg_ref[:] = sg
         dls_ref[:] = dls
         dlb_ref[:] = dlb
-        dg_ref[:] = dgamma
 
     @pl.when(i > 0)
     def _():
         dw1_ref[:] += dw1
         db1_ref[:] += db1
-        dw2_ref[:] += dw2
-        db2_ref[:] += db2
+        dw2r_ref[:] += dw2r
+        sg_ref[:] += sg
         dls_ref[:] += dls
         dlb_ref[:] += dlb
-        dg_ref[:] += dgamma
 
     # ---- LayerNorm backward ------------------------------------------
     dnh = dn * lns_ref[:]
@@ -156,9 +163,10 @@ def fused_mlp_bwd(x, g, ln_scale, ln_bias, w1, b1, w2, b2, gamma, *,
         # -grad accumulators 8*c*hdim + ~5 live f32 [R, hdim]
         # intermediates. c=384 at R=256 measured 16.42 MB scoped — 432 KB
         # OVER the 16 MB limit at some grid sizes (the flagship pretrain
-        # batch 96 two-view crashed; batch 64 two-view happened to fit) —
-        # so every c >= 384 runs R=128.
-        row_tile = ROW_TILE if c < 384 else ROW_TILE // 2
+        # batch 96 two-view crashed; batch 64 two-view happened to fit).
+        # Dropping the y-recompute GEMM freed one live [R, C] f32, so
+        # c >= 384 runs R=192 (was 128).
+        row_tile = ROW_TILE if c < 384 else 192
     rows = 1
     for d in orig_shape[:-1]:
         rows *= d
@@ -182,18 +190,16 @@ def fused_mlp_bwd(x, g, ln_scale, ln_bias, w1, b1, w2, b2, gamma, *,
         jax.ShapeDtypeStruct((num_tiles * row_tile, c), x.dtype),  # dx
         jax.ShapeDtypeStruct((c, hdim), jnp.float32),              # dw1
         jax.ShapeDtypeStruct((1, hdim), jnp.float32),              # db1
-        jax.ShapeDtypeStruct((hdim, c), jnp.float32),              # dw2
-        jax.ShapeDtypeStruct((1, c), jnp.float32),                 # db2
+        jax.ShapeDtypeStruct((hdim, c), jnp.float32),              # dw2r
+        jax.ShapeDtypeStruct((1, c), jnp.float32),                 # sg
         jax.ShapeDtypeStruct((1, c), jnp.float32),                 # dls
         jax.ShapeDtypeStruct((1, c), jnp.float32),                 # dlb
-        jax.ShapeDtypeStruct((1, c), jnp.float32),                 # dgamma
     )
     out_specs = (
         pl.BlockSpec((row_tile, c), lambda i: (i, 0), memory_space=space),
         pl.BlockSpec((c, hdim), rep, memory_space=space),
         pl.BlockSpec((1, hdim), rep, memory_space=space),
         pl.BlockSpec((hdim, c), rep, memory_space=space),
-        pl.BlockSpec((1, c), rep, memory_space=space),
         pl.BlockSpec((1, c), rep, memory_space=space),
         pl.BlockSpec((1, c), rep, memory_space=space),
         pl.BlockSpec((1, c), rep, memory_space=space),
@@ -213,7 +219,6 @@ def fused_mlp_bwd(x, g, ln_scale, ln_bias, w1, b1, w2, b2, gamma, *,
             pl.BlockSpec((1, hdim), rep, memory_space=space),
             pl.BlockSpec((hdim, c), rep, memory_space=space),
             pl.BlockSpec((1, c), rep, memory_space=space),
-            pl.BlockSpec((1, c), rep, memory_space=space),
         ],
         out_specs=out_specs,
         out_shape=out_shapes,
@@ -226,10 +231,19 @@ def fused_mlp_bwd(x, g, ln_scale, ln_bias, w1, b1, w2, b2, gamma, *,
       jnp.asarray(w1, jnp.bfloat16),
       jnp.asarray(b1, jnp.float32).reshape(1, hdim),
       jnp.asarray(w2, jnp.bfloat16),
-      jnp.asarray(b2, jnp.float32).reshape(1, c),
       jnp.asarray(gamma, jnp.float32).reshape(1, c))
 
-    dx, dw1, db1, dw2, db2, dls, dlb, dgamma = outs
+    dx, dw1, db1, dw2r, sg, dls, dlb = outs
+    # gamma is per-output-channel, so it factors out of every row
+    # reduction: derive the y-dependent gradients from the raw
+    # accumulators instead of recomputing y = a@w2 + b2 in-kernel
+    # (dgamma = Σ_r g⊙y  =  Σ_k dw2r[k,:]·w2[k,:] + b2⊙Σ_r g).
+    gam = jnp.asarray(gamma, jnp.float32).reshape(1, c)
+    dw2 = dw2r * gam
+    db2 = (sg * gam).reshape(-1)
+    dgamma = (jnp.sum(dw2r * jnp.asarray(w2, jnp.bfloat16)
+                      .astype(jnp.float32), axis=0, keepdims=True)
+              + jnp.asarray(b2, jnp.float32).reshape(1, c) * sg)
     return (dx[:rows].reshape(orig_shape), dls.reshape(-1),
-            dlb.reshape(-1), dw1, db1.reshape(-1), dw2, db2.reshape(-1),
+            dlb.reshape(-1), dw1, db1.reshape(-1), dw2, db2,
             dgamma.reshape(-1))
