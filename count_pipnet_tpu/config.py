@@ -111,6 +111,12 @@ def build_parser() -> argparse.ArgumentParser:
              "Pallas kernel (tanh-approx GELU; Pallas forward + "
              "remat-style backward). Same param tree as the standard "
              "path — checkpoints interchange")
+    add("--fused_dwconv", action="store_true",
+        help="run the block-opening depthwise conv FORWARD through the "
+             "channels-to-lanes Pallas kernel, keeping XLA's conv vjp for "
+             "both gradients (the conv is linear, so gradients are "
+             "bit-identical to nn.Conv's). Composes with --fused_blocks; "
+             "same param tree — checkpoints interchange")
     add("--viz_topk", type=_bool, choices=[True, False], default=True,
         help="save per-prototype top-k patch PNGs during the best-model "
              "visualization (reference vis_pipnet plot_topk)")

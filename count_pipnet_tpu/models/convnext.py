@@ -98,6 +98,7 @@ class CNBlock(nn.Module):
     dtype: Any = jnp.float32
     fused_mlp: bool = False
     fused_whole_block: bool = False
+    fused_dwconv: bool = False
 
     @nn.compact
     def __call__(self, x, *, deterministic: bool = True):
@@ -126,10 +127,21 @@ class CNBlock(nn.Module):
                                             (z.shape[0], 1, 1, 1))
                 z = x + (z - x) * mask.astype(z.dtype) / keep
             return z
-        h = nn.Conv(
-            self.dim, (7, 7), padding=3, feature_group_count=self.dim,
-            dtype=self.dtype, kernel_init=trunc_normal_02, name="dwconv",
-        )(x)
+        if self.fused_dwconv:
+            # Pallas channels-to-lanes forward, XLA conv vjp backward
+            # (ops/pallas/dwconv_bwd.dwconv7_pfwd_ad). Same "dwconv"
+            # param tree as nn.Conv — checkpoints interchange.
+            from ..ops.pallas.dwconv_bwd import dwconv7_pfwd_ad
+            dwk, dwb = _ConvParams((7, 7, 1, self.dim), self.dim,
+                                   name="dwconv")()
+            use_pallas = jax.devices()[0].platform not in ("cpu",)
+            h = dwconv7_pfwd_ad(x, dwk, dwb, self.dtype, use_pallas)
+        else:
+            h = nn.Conv(
+                self.dim, (7, 7), padding=3,
+                feature_group_count=self.dim, dtype=self.dtype,
+                kernel_init=trunc_normal_02, name="dwconv",
+            )(x)
         gamma = self.param(
             "layer_scale",
             nn.initializers.constant(self.layer_scale_init),
@@ -217,6 +229,7 @@ class ConvNeXtFeatures(nn.Module):
     dtype: Any = jnp.float32
     fused_mlp: bool = False
     fused_whole_block: bool = False
+    fused_dwconv: bool = False
 
     @property
     def out_channels(self) -> int:
@@ -262,6 +275,7 @@ class ConvNeXtFeatures(nn.Module):
                     dim, sd_prob=prob, dtype=self.dtype,
                     fused_mlp=self.fused_mlp,
                     fused_whole_block=self.fused_whole_block,
+                    fused_dwconv=self.fused_dwconv,
                     name=f"{stage_name}_block_{j}",
                 )(h, deterministic=deterministic)
                 block_id += 1
@@ -272,26 +286,28 @@ class ConvNeXtFeatures(nn.Module):
 def convnext_tiny_26_features(num_stages: int = 7, dtype=jnp.float32,
                               stochastic_depth_prob: float = 0.1,
                               fused_mlp: bool = False,
-                              fused_whole_block: bool = False):
+                              fused_whole_block: bool = False,
+                              fused_dwconv: bool = False):
     """Stride threshold 100 -> 26x26 latent at 224 input
     (reference convnext_features.py:38-65)."""
     return ConvNeXtFeatures(
         stride_threshold=100, num_stages=num_stages, dtype=dtype,
         stochastic_depth_prob=stochastic_depth_prob, fused_mlp=fused_mlp,
-        fused_whole_block=fused_whole_block,
+        fused_whole_block=fused_whole_block, fused_dwconv=fused_dwconv,
     )
 
 
 def convnext_tiny_13_features(num_stages: int = 7, dtype=jnp.float32,
                               stochastic_depth_prob: float = 0.1,
                               fused_mlp: bool = False,
-                              fused_whole_block: bool = False):
+                              fused_whole_block: bool = False,
+                              fused_dwconv: bool = False):
     """Stride threshold 300 -> 13x13 latent at 224 input
     (reference convnext_features.py:67-94)."""
     return ConvNeXtFeatures(
         stride_threshold=300, num_stages=num_stages, dtype=dtype,
         stochastic_depth_prob=stochastic_depth_prob, fused_mlp=fused_mlp,
-        fused_whole_block=fused_whole_block,
+        fused_whole_block=fused_whole_block, fused_dwconv=fused_dwconv,
     )
 
 

@@ -51,7 +51,8 @@ BACKBONE_BUILDERS = {
 def build_backbone(net: str, use_mid_layers: bool = False,
                    num_stages: int = 2, dtype=jnp.float32,
                    fused_mlp: bool = False,
-                   fused_whole_block: bool = False):
+                   fused_whole_block: bool = False,
+                   fused_dwconv: bool = False):
     """Backbone factory mirroring the reference's architecture dicts
     (pipnet/pipnet.py:44-51, count_pipnet.py:171-174)."""
     if net not in BACKBONE_BUILDERS:
@@ -62,7 +63,8 @@ def build_backbone(net: str, use_mid_layers: bool = False,
         stages = num_stages if use_mid_layers else 7
         return BACKBONE_BUILDERS[net](num_stages=stages, dtype=dtype,
                                       fused_mlp=fused_mlp,
-                                      fused_whole_block=fused_whole_block)
+                                      fused_whole_block=fused_whole_block,
+                                      fused_dwconv=fused_dwconv)
     return BACKBONE_BUILDERS[net](dtype=dtype)
 
 
@@ -191,7 +193,8 @@ def get_pipnet(num_classes: int, args, dtype=jnp.float32):
         args.net, use_mid_layers=getattr(args, "use_mid_layers", False),
         num_stages=getattr(args, "num_stages", 2), dtype=dtype,
         fused_mlp=getattr(args, "fused_blocks", False),
-        fused_whole_block=getattr(args, "fused_whole_blocks", False))
+        fused_whole_block=getattr(args, "fused_whole_blocks", False),
+        fused_dwconv=getattr(args, "fused_dwconv", False))
     num_prototypes = _infer_num_prototypes(args.net, args, backbone)
     model = PIPNet(
         num_classes=num_classes, num_prototypes=num_prototypes,
@@ -216,7 +219,8 @@ def get_count_network(num_classes: int, args, max_count: int = 3,
         args.net, use_mid_layers=getattr(args, "use_mid_layers", False),
         num_stages=getattr(args, "num_stages", 2), dtype=dtype,
         fused_mlp=getattr(args, "fused_blocks", False),
-        fused_whole_block=getattr(args, "fused_whole_blocks", False))
+        fused_whole_block=getattr(args, "fused_whole_blocks", False),
+        fused_dwconv=getattr(args, "fused_dwconv", False))
     num_prototypes = _infer_num_prototypes(args.net, args, backbone)
     model = CountPIPNet(
         num_classes=num_classes, num_prototypes=num_prototypes,

@@ -36,9 +36,10 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .dwconv import dwconv7
 from .fused_block import K, PAD, _wp_for, pad_planes
 
-__all__ = ["dwconv7_wgrad", "dwconv7_ad"]
+__all__ = ["dwconv7_wgrad", "dwconv7_ad", "dwconv7_pfwd_ad"]
 
 _ROWS = 56  # 49 taps + 1 bias row, padded to a sublane multiple
 
@@ -166,3 +167,39 @@ def _ad_bwd(dtype, use_pallas, res, g):
 
 
 dwconv7_ad.defvjp(_ad_fwd, _ad_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def dwconv7_pfwd_ad(x, kernel, bias, dtype, use_pallas):
+    """Depthwise 7x7 conv with the PALLAS forward and XLA backward.
+
+    The complement of :func:`dwconv7_ad`: XLA's depthwise dgrad AND wgrad
+    measured fine at training shapes (BENCH_NOTES.md round 3), but its
+    *forward* lowering is the slow piece at serving shapes — this wrapper
+    runs the channels-to-lanes Pallas forward (ops/pallas/dwconv.dwconv7)
+    and keeps both gradients on XLA's conv vjp. Gradient correctness does
+    not depend on the forward implementation (the conv is linear in both
+    operands), so grads are bit-identical to flax nn.Conv's.
+
+    ``use_pallas=False`` (CPU/tests) falls back to the XLA forward, making
+    the wrapper a drop-in for nn.Conv in either environment.
+    """
+    if use_pallas:
+        return dwconv7(x.astype(dtype), kernel, bias, out_dtype=dtype)
+    return _dw_conv(x, kernel, bias, dtype)
+
+
+def _pfwd_fwd(x, kernel, bias, dtype, use_pallas):
+    return dwconv7_pfwd_ad(x, kernel, bias, dtype, use_pallas), (x, kernel)
+
+
+def _pfwd_bwd(dtype, use_pallas, res, g):
+    x, kernel = res
+    _, vjp_fn = jax.vjp(
+        lambda xx, kk, bb: _dw_conv(xx, kk, bb, dtype), x, kernel,
+        jnp.zeros((x.shape[-1],), kernel.dtype))
+    dx, dk, db = vjp_fn(g.astype(dtype))
+    return dx.astype(x.dtype), dk.astype(kernel.dtype), db
+
+
+dwconv7_pfwd_ad.defvjp(_pfwd_fwd, _pfwd_bwd)
