@@ -170,11 +170,85 @@ def _fused_ad_fwd(x, residual, ln_scale, ln_bias, w1, b1, w2, b2, gamma,
     return out, (x, ln_scale, ln_bias, w1, b1, w2, b2, gamma)
 
 
+def _mlp_body_manual_bwd(x, ln_scale, ln_bias, w1, b1, w2, b2, gamma, g,
+                         eps):
+    """Hand-written backward of :func:`_mlp_body` — the same math as the
+    Pallas kernel (ops/pallas/fused_mlp_bwd.py) in plain XLA ops.
+
+    Versus ``jax.vjp(_mlp_body)`` (which re-runs the forward inside the
+    backward: 2 recompute + 4 backward GEMMs), this recomputes only to
+    the GELU input and derives the y-dependent gradients algebraically —
+    5 R·C·4C GEMMs instead of 6 (gamma is per-channel, so it factors out
+    of every row reduction):
+
+        dw2    = gamma ⊙ (a^T @ g)
+        db2    = gamma ⊙ Σ_r g
+        dgamma = Σ_k (a^T @ g)[k,:]·w2[k,:] + b2 ⊙ Σ_r g
+
+    Used for the stages whose weight-grad accumulators exceed the Pallas
+    kernel's VMEM budget (C=768) and as the CPU fallback backward.
+    """
+    c = x.shape[-1]
+    x2 = x.reshape(-1, c)
+    g32 = g.astype(jnp.float32).reshape(-1, c)
+
+    x32 = x2.astype(jnp.float32)
+    mu = jnp.mean(x32, axis=1, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mu), axis=1, keepdims=True)
+    inv = jax.lax.rsqrt(var + eps)
+    xhat = (x32 - mu) * inv
+    ls32 = ln_scale.astype(jnp.float32)
+    n = xhat * ls32 + ln_bias.astype(jnp.float32)
+    nb = n.astype(jnp.bfloat16)
+    w1b = w1.astype(jnp.bfloat16)
+    w2b = w2.astype(jnp.bfloat16)
+    h = jnp.dot(nb, w1b, preferred_element_type=jnp.float32) \
+        + b1.astype(jnp.float32)
+    # tanh-GELU value + derivative (matches jax.nn.gelu approximate=True)
+    sq2pi, kappa = 0.7978845608028654, 0.044715
+    u = sq2pi * (h + kappa * h * h * h)
+    t = jnp.tanh(u)
+    a = 0.5 * h * (1.0 + t)
+    dgelu = (0.5 * (1.0 + t)
+             + 0.5 * h * (1.0 - t * t) * sq2pi * (1.0 + 3 * kappa * h * h))
+    ab = a.astype(jnp.bfloat16)
+
+    gam = gamma.astype(jnp.float32)
+    dyb = (g32 * gam).astype(jnp.bfloat16)
+    gb = g32.astype(jnp.bfloat16)
+    da = jax.lax.dot_general(dyb, w2b, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    dh = da * dgelu
+    dhb = dh.astype(jnp.bfloat16)
+    dn = jax.lax.dot_general(dhb, w1b, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+
+    dw1 = jax.lax.dot_general(nb, dhb, (((0,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    dw2r = jax.lax.dot_general(ab, gb, (((0,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+    dw2 = dw2r * gam[None, :]
+    db1 = jnp.sum(dh, axis=0)
+    sg = jnp.sum(g32, axis=0)
+    db2 = gam * sg
+    dgamma = (jnp.sum(dw2r * w2b.astype(jnp.float32), axis=0)
+              + b2.astype(jnp.float32) * sg)
+
+    dnh = dn * ls32
+    m1 = jnp.mean(dnh, axis=1, keepdims=True)
+    m2 = jnp.mean(dnh * xhat, axis=1, keepdims=True)
+    dx = (inv * (dnh - m1 - xhat * m2)).reshape(x.shape)
+    dls = jnp.sum(dn * xhat, axis=0)
+    dlb = jnp.sum(dn, axis=0)
+    return dx, dls, dlb, dw1, db1, dw2, db2, dgamma
+
+
 def _fused_ad_bwd(eps, use_pallas, res, g):
     x, ln_scale, ln_bias, w1, b1, w2, b2, gamma = res
     # c=768 (stage 4) exceeds the 16 MB VMEM limit in the fused backward:
     # the two f32 weight-grad accumulators alone are 2 x 9.4 MB. Stage 4
-    # keeps the XLA remat backward; every narrower stage gets the kernel.
+    # gets the 5-GEMM manual XLA backward; every narrower stage gets the
+    # Pallas kernel.
     if use_pallas and x.shape[-1] <= 384:
         # hand-written Pallas backward: recompute + all four backward
         # GEMMs in one kernel, 4C intermediates never touch HBM
@@ -182,20 +256,17 @@ def _fused_ad_bwd(eps, use_pallas, res, g):
         from .fused_mlp_bwd import fused_mlp_bwd
         dx, dls, dlb, dw1, db1, dw2, db2, dgamma = fused_mlp_bwd(
             x, g, ln_scale, ln_bias, w1, b1, w2, b2, gamma, eps=eps)
-        return (dx.astype(x.dtype), g,
-                dls.astype(ln_scale.dtype).reshape(ln_scale.shape),
-                dlb.astype(ln_bias.dtype).reshape(ln_bias.shape),
-                dw1.astype(w1.dtype), db1.astype(b1.dtype).reshape(b1.shape),
-                dw2.astype(w2.dtype), db2.astype(b2.dtype).reshape(b2.shape),
-                dgamma.astype(gamma.dtype).reshape(gamma.shape))
-    g32 = g.astype(jnp.float32)
-    _, vjp_fn = jax.vjp(
-        lambda *a: _mlp_body(*a, eps), x, ln_scale, ln_bias, w1, b1, w2,
-        b2, gamma)
-    dx, dls, dlb, dw1, db1, dw2, db2, dgamma = vjp_fn(g32)
+    else:
+        dx, dls, dlb, dw1, db1, dw2, db2, dgamma = _mlp_body_manual_bwd(
+            x, ln_scale, ln_bias, w1, b1, w2, b2, gamma, g, eps)
     # the residual's gradient is the cotangent itself (identity path);
     # g already carries the output (= residual) dtype
-    return (dx.astype(x.dtype), g, dls, dlb, dw1, db1, dw2, db2, dgamma)
+    return (dx.astype(x.dtype), g,
+            dls.astype(ln_scale.dtype).reshape(ln_scale.shape),
+            dlb.astype(ln_bias.dtype).reshape(ln_bias.shape),
+            dw1.astype(w1.dtype), db1.astype(b1.dtype).reshape(b1.shape),
+            dw2.astype(w2.dtype), db2.astype(b2.dtype).reshape(b2.shape),
+            dgamma.astype(gamma.dtype).reshape(gamma.shape))
 
 
 fused_ln_mlp_residual_ad.defvjp(_fused_ad_fwd, _fused_ad_bwd)

@@ -53,12 +53,16 @@ def main():
         k = jnp.asarray(rng.normal(size=(7, 7, 1, c)) * 0.1, jnp.bfloat16)
         b = jnp.asarray(rng.normal(size=(c,)) * 0.1, jnp.bfloat16)
         t_x = timeit(dw_xla, x, k, b) * 1e3
-        t_p = timeit(lambda *a: dwconv7(*a), x, k, b) * 1e3
-        y1 = jax.device_get(dw_xla(x, k, b)).astype(np.float32)
-        y2 = jax.device_get(dwconv7(x, k, b)).astype(np.float32)
-        err = np.max(np.abs(y1 - y2)) / (np.max(np.abs(y1)) + 1e-9)
-        print(f"{label}: XLA {t_x:7.2f} ms   pallas {t_p:7.2f} ms   "
-              f"rel err {err:.2e}")
+        print(f"{label}: XLA {t_x:7.2f} ms", flush=True)
+        try:
+            t_p = timeit(lambda *a: dwconv7(*a), x, k, b) * 1e3
+            y1 = jax.device_get(dw_xla(x, k, b)).astype(np.float32)
+            y2 = jax.device_get(dwconv7(x, k, b)).astype(np.float32)
+            err = np.max(np.abs(y1 - y2)) / (np.max(np.abs(y1)) + 1e-9)
+            print(f"{'':25s} pallas {t_p:7.2f} ms   rel err {err:.2e}",
+                  flush=True)
+        except Exception as e:
+            print(f"{'':25s} pallas FAILED: {str(e)[:160]}", flush=True)
 
 
 if __name__ == "__main__":

@@ -25,7 +25,9 @@ def main():
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--image", type=int, default=224)
     ap.add_argument("--modes", nargs="*",
-                    default=["standard", "fused_mlp", "whole_block"])
+                    default=["standard", "fused_mlp", "whole_block"],
+                    help="also: fused_mlp_dw (fused_mlp + Pallas dwconv "
+                         "forward)")
     args = ap.parse_args()
 
     import jax
@@ -56,8 +58,9 @@ def main():
             positive_grad_strategy = None
             backward_clamp_strategy = "Identity"
             disable_pretrained = True
-            fused_blocks = mode == "fused_mlp"
+            fused_blocks = mode in ("fused_mlp", "fused_mlp_dw")
             fused_whole_blocks = mode == "whole_block"
+            fused_dwconv = mode == "fused_mlp_dw"
 
         model, _ = get_count_network(200, A, max_count=3, use_ste=True,
                                      dtype=jnp.bfloat16)

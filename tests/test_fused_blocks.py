@@ -52,9 +52,16 @@ class TestFusedAdOp:
             args[0], args[4], args[6], args[8])
         gp = jax.grad(plain_loss, argnums=(0, 1, 2, 3))(
             args[0], args[4], args[6], args[8])
+        # the manual backward reassociates the bf16 roundings of the
+        # autodiff backward (gamma applied in f32 after the GEMM,
+        # f32-accumulated GEMM outputs where autodiff rounds them to
+        # bf16), so elementwise tolerances break down on cancellation-
+        # prone elements; compare with the normalized error the Pallas
+        # backward tests use (max|a-b| / max|b|)
         for a, b in zip(gf, gp):
-            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                       rtol=1e-3, atol=1e-4)
+            a, b = np.asarray(a), np.asarray(b)
+            nerr = np.abs(a - b).max() / max(np.abs(b).max(), 1e-9)
+            assert nerr < 1e-2, nerr
 
 
 class TestFusedBackboneModule:
