@@ -13,3 +13,15 @@ PyTorch reference (TarasKutsyk/Count_PIPNet):
 """
 
 __version__ = "0.1.0"
+
+# Honor an explicit JAX_PLATFORMS=cpu for every CLI/script that imports
+# this package: a sitecustomize may force-register a remote single-claimer
+# TPU backend and override jax_platforms through jax.config, ignoring the
+# env var alone — a CPU-intended run would then silently contend for the
+# TPU claim (and hang if another process holds it).
+import os as _os
+
+if _os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", "cpu")

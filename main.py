@@ -11,6 +11,15 @@ import os
 import sys
 import traceback
 
+# Honor JAX_PLATFORMS=cpu before any device access: a sitecustomize may
+# force-register a remote single-claimer TPU backend and override
+# jax_platforms through jax.config, ignoring the env var alone. Without
+# this, a CPU-intended CLI run silently contends for the TPU claim.
+if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
 from count_pipnet_tpu.config import get_args
 from count_pipnet_tpu.train.trainer import run_pipnet
 from count_pipnet_tpu.utils.log import tee_std_streams

@@ -247,3 +247,79 @@ class TestInterpExplorer:
         for frag in ("addEventListener('mousemove'",
                      "addEventListener('click'", "<select id=\"cls\">"):
             assert frag in html, frag
+
+    def test_grouped_view(self, tmp_path):
+        """Grouped explorer (reference main_interp.py:533-880): columns
+        ordered by group priority under a colored band, per-prototype
+        labels embedded, top-k filter control present."""
+        import json
+        import re
+        import sys
+        sys.path.insert(0, "/root/repo")
+        from notebooks.interp_explorer import build_explorer
+
+        run_dir = "/root/repo/runs/sweep_r2/onehot_seed1_20260816_231438"
+        if not os.path.exists(os.path.join(run_dir, "metadata",
+                                           "args.pickle")):
+            pytest.skip("no committed trained run available")
+        spec = {
+            "groups": {"count": [0, 3], "shape": [4], "mixed": [2]},
+            "labels": {"0": "Count-1", "4": "Circ(:)"},
+        }
+        gpath = tmp_path / "groups.json"
+        gpath.write_text(json.dumps(spec))
+        out = build_explorer(run_dir, out_path=str(tmp_path / "e.html"),
+                             groups_json=str(gpath))
+        html = open(out).read()
+        defs = json.loads(re.search(r"const DEFS = (\[.*?\]);",
+                                    html, re.S).group(1))
+        assert defs[0]["label"] == "Count-1"
+        assert defs[0]["group_name"] == "count"
+        assert defs[4]["group_name"] == "shape"
+        # shape has higher priority (lower number) than count
+        assert defs[4]["order_priority"] < defs[0]["order_priority"]
+        # unassigned prototypes fall into the dead group
+        assert defs[1]["group_name"] == "dead"
+        for frag in ('id="legend"', 'id="topk"', "order.sort"):
+            assert frag in html, frag
+
+
+class TestGroupDefinitions:
+    """build_group_definitions validation semantics
+    (reference main_interp.py:578-640)."""
+
+    def test_overlap_raises(self):
+        from count_pipnet_tpu.interpret.enums import (
+            build_group_definitions)
+        with pytest.raises(ValueError, match="multiple groups"):
+            build_group_definitions(4, {"a": [0, 1], "b": [1]})
+
+    def test_out_of_range_raises(self):
+        from count_pipnet_tpu.interpret.enums import (
+            build_group_definitions)
+        with pytest.raises(ValueError, match="outside"):
+            build_group_definitions(4, {"a": [7]})
+
+    def test_dead_and_custom_groups(self):
+        from count_pipnet_tpu.interpret.enums import (
+            build_group_definitions)
+        defs = build_group_definitions(
+            5, {"count": [0], "texture": [2, 3]},
+            labels={0: "Count-1"})
+        assert [d["group_name"] for d in defs] == \
+            ["count", "dead", "texture", "texture", "dead"]
+        assert defs[0]["label"] == "Count-1"
+        assert defs[1]["label"] == "Dead"
+        # custom group gets a color and a priority after known groups
+        assert defs[2]["color"].startswith("#")
+        assert defs[2]["order_priority"] > defs[0]["order_priority"]
+        # known-group colors come from the default palette
+        from count_pipnet_tpu.interpret.enums import GROUP_COLORS
+        assert defs[0]["color"] == GROUP_COLORS["count"]
+
+    def test_registry_roundtrip(self):
+        from count_pipnet_tpu.interpret.enums import (
+            groups_for_run, register_groups)
+        register_groups("runX", {"count": [1, 2]})
+        assert groups_for_run("runX") == {"count": [1, 2]}
+        assert groups_for_run("missing") == {}
