@@ -323,3 +323,35 @@ class TestGroupDefinitions:
         register_groups("runX", {"count": [1, 2]})
         assert groups_for_run("runX") == {"count": [1, 2]}
         assert groups_for_run("missing") == {}
+
+
+class TestRunComparator:
+    """Interactive cross-run comparator (notebooks/interp_many.py):
+    self-contained HTML with every run's matrix embedded."""
+
+    def test_comparison_html(self, tmp_path):
+        import json
+        import re
+        import sys
+        sys.path.insert(0, "/root/repo")
+        sys.path.insert(0, "/root/repo/notebooks")
+        from notebooks.interp_many import build_comparison_html
+
+        expl = {
+            "runA": {"weights": np.asarray([[0.0, 2.0], [1.0, 0.0]])},
+            "runB": {"weights": np.asarray([[1.5, 0.0], [0.0, 0.5]])},
+        }
+        out = build_comparison_html(expl, str(tmp_path))
+        html = open(out).read()
+        assert "<script src" not in html
+        runs = json.loads(re.search(r"const RUNS = (\{.*?\});\n",
+                                    html, re.S).group(1))
+        assert set(runs) == {"runA", "runB"}
+        assert runs["runA"]["W"] == [[0.0, 2.0], [1.0, 0.0]]
+        assert len(runs["runA"]["classes"]) == 2
+        script = html.split("<script>")[1].split("</script>")[0]
+        for o, c in [("{", "}"), ("(", ")"), ("[", "]")]:
+            assert script.count(o) == script.count(c)
+        for frag in ("drawScatter", "id=\"toggles\"",
+                     "addEventListener('mousemove'"):
+            assert frag in html, frag
