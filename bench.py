@@ -15,28 +15,6 @@ import time
 BASELINE_IMGS_PER_SEC = 5000.0
 
 
-def _wait_for_backend(max_wait_s=900):
-    """The remote TPU session can be transiently down (backend init
-    raises UNAVAILABLE) after an earlier client was killed; retry the
-    first device touch for a bounded window instead of failing the
-    whole benchmark run."""
-    import jax
-
-    deadline = time.time() + max_wait_s
-    while True:
-        try:
-            return jax.devices()
-        except RuntimeError as e:
-            if "UNAVAILABLE" not in str(e) or time.time() > deadline:
-                raise
-            print(f"TPU backend unavailable, retrying "
-                  f"({int(deadline - time.time())} s left)...",
-                  file=sys.stderr)
-            # jax caches the failed backend; clear so the retry re-inits
-            jax.extend.backend.clear_backends()
-            time.sleep(30)
-
-
 def main():
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                           os.path.join(os.path.dirname(__file__),
@@ -45,8 +23,9 @@ def main():
     import jax.numpy as jnp
     import numpy as np
     from count_pipnet_tpu.models import get_count_network
+    from count_pipnet_tpu.utils.backend import wait_for_backend
 
-    _wait_for_backend()
+    wait_for_backend()
 
     class Args:
         net = "convnext_tiny_26"
