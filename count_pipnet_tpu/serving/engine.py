@@ -82,8 +82,11 @@ class ServingEngine:
         self._collector = None
         self._drainer = None
         self._lock = threading.Lock()
+        # bounded latency window: a long-running server must not grow a
+        # per-request history (stats() sorts this on every call)
+        from collections import deque
         self._stats = {"requests": 0, "batches": 0, "padded_slots": 0,
-                       "latencies_ms": []}
+                       "latencies_ms": deque(maxlen=10000)}
 
     # -- public API ---------------------------------------------------------
 
@@ -117,6 +120,9 @@ class ServingEngine:
     def submit(self, img: np.ndarray) -> Future:
         """Enqueue one image; returns a Future resolving to the result
         pytree sliced to this request (leading dim removed)."""
+        if not self._running:
+            raise RuntimeError("engine is not running (start() it first, "
+                               "or it was stopped)")
         img = np.asarray(img, np.float32)
         if img.shape != self.input_shape:
             raise ValueError(
@@ -129,6 +135,7 @@ class ServingEngine:
         return [self.submit(im) for im in imgs]
 
     def stats(self) -> dict:
+        """Counters + latency percentiles over the last <=10k requests."""
         with self._lock:
             lat = sorted(self._stats["latencies_ms"])
             out = {
@@ -163,6 +170,15 @@ class ServingEngine:
             except queue.Empty:
                 item = False                 # deadline hit: flush
             if item is None:
+                # a submit() racing stop() may have enqueued requests
+                # behind the sentinel — drain them so no future strands
+                while True:
+                    try:
+                        extra = self._queue.get_nowait()
+                    except queue.Empty:
+                        break
+                    if extra is not None:
+                        pending.append(extra)
                 break
             if item is not False:
                 pending.append(item)
@@ -172,8 +188,9 @@ class ServingEngine:
             if pending and (full or aged or not self._running):
                 group, pending = pending[:max_b], pending[max_b:]
                 self._dispatch(group)
-        if pending:                          # final flush on stop
-            self._dispatch(pending)
+        while pending:                       # final flush on stop
+            group, pending = pending[:max_b], pending[max_b:]
+            self._dispatch(group)
 
     def _dispatch(self, group):
         n = len(group)

@@ -187,7 +187,6 @@ def make_eval_step(model, *, num_classes: int):
         k = min(5, num_classes)
         topk = jax.lax.top_k(out, k)[1]                     # [B, k]
         correct_k = (topk == ys[:, None])
-        top1 = correct_k[:, 0].astype(jnp.float32)
         top5 = jnp.any(correct_k, axis=1).astype(jnp.float32)
 
         cm = jnp.zeros((num_classes, num_classes), jnp.int32)
@@ -203,7 +202,8 @@ def make_eval_step(model, *, num_classes: int):
                 jnp.float32)),
             "prototypes_per_class_mean": jnp.mean(prototypes_per_class),
             "almost_nz_mean": jnp.mean(almost_nz.astype(jnp.float32)),
-            "top1_mean": jnp.mean(top1),
+            # top-1 is derived from the confusion matrix on the host
+            # (exact under ragged final batches; train/eval.py)
             "top5_mean": jnp.mean(top5),
             "cm": cm,
             "pooled": pooled,

@@ -595,7 +595,24 @@ def run_pipnet(args):
 
     # -- best-model reload + prototype visualization (main.py:446-458)
     print("\nLoading best model for prototype visualization...", flush=True)
+    if jax.process_count() > 1:
+        # Non-main processes skip the is_main-gated saves above; barrier
+        # so none of them reads net_best before process 0 finishes
+        # writing it (saves themselves are atomic tmp+rename).
+        from jax.experimental import multihost_utils
+        multihost_utils.sync_global_devices("best_checkpoint_written")
     best = ckpt.load_best_checkpoint()
+    if jax.process_count() > 1:
+        # All hosts must take the same branch below (the reload feeds
+        # sharded eval/viz); a host that can't see process 0's file means
+        # log_dir isn't shared — fail loudly instead of diverging.
+        have = bool(multihost_utils.broadcast_one_to_all(
+            np.asarray(best is not None)))
+        if have != (best is not None):
+            raise RuntimeError(
+                "net_best checkpoint visible on process 0 but not on "
+                f"process {jax.process_index()}: --log_dir must be on a "
+                "filesystem shared across hosts")
     if best is not None:
         state, meta = best
         trainer.params = replicate(trainer.mesh, state["params"])

@@ -52,11 +52,17 @@ def _to_numpy(tree):
 
 
 def _save_file(path: str, tree: Dict[str, Any], meta: Dict[str, Any]):
+    # Atomic write (tmp + rename): a concurrent reader — e.g. a non-main
+    # process in a multi-host run reaching the best-model reload while
+    # process 0 is still saving — never sees a truncated file.
     blob = serialization.msgpack_serialize(_to_numpy(tree))
-    with open(path, "wb") as f:
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
         f.write(blob)
-    with open(path + ".json", "w") as f:
+    os.replace(tmp, path)
+    with open(path + ".json.tmp", "w") as f:
         json.dump(meta, f)
+    os.replace(path + ".json.tmp", path + ".json")
 
 
 def _graft(target, saved):

@@ -11,15 +11,10 @@ import os
 import sys
 import traceback
 
-# Honor JAX_PLATFORMS=cpu before any device access: a sitecustomize may
-# force-register a remote single-claimer TPU backend and override
-# jax_platforms through jax.config, ignoring the env var alone. Without
-# this, a CPU-intended CLI run silently contends for the TPU claim.
-if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
-    import jax
-
-    jax.config.update("jax_platforms", "cpu")
-
+# The count_pipnet_tpu package honors JAX_PLATFORMS=cpu on import (a
+# sitecustomize may override jax_platforms via jax.config, ignoring the
+# env var alone) — so a CPU-intended CLI run never contends for the
+# single TPU claim.
 from count_pipnet_tpu.config import get_args
 from count_pipnet_tpu.train.trainer import run_pipnet
 from count_pipnet_tpu.utils.log import tee_std_streams

@@ -246,8 +246,7 @@ def build_explorer(run_dir, out_path=None, checkpoint="net_best",
                 [[round(float(v), 6) for v in row] for row in w]))
             .replace("__CLASSES__", json.dumps(classes))
             .replace("__PROTO_LINKS__", json.dumps(
-                {str(k): v for k, v in links.items()})
-                .replace('"', '"') if links else "{}")
+                {str(k): v for k, v in links.items()}) if links else "{}")
             .replace("__DEFS__", json.dumps(defs) if defs else "null")
             .replace("__META__", meta))
     out_path = out_path or os.path.join(run_dir, "explorer.html")
@@ -258,11 +257,10 @@ def build_explorer(run_dir, out_path=None, checkpoint="net_best",
 
 
 def main():
-    # honor JAX_PLATFORMS=cpu even under the sitecustomize that force-
-    # registers the TPU backend (single-claimer environment)
-    if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
-        import jax
-        jax.config.update("jax_platforms", "cpu")
+    # importing the package honors JAX_PLATFORMS=cpu under the
+    # sitecustomize that force-registers the TPU backend
+    import count_pipnet_tpu  # noqa: F401
+
     ap = argparse.ArgumentParser("Interactive class<->prototype explorer")
     ap.add_argument("--run_dir", required=True)
     ap.add_argument("--checkpoint", default="net_best")

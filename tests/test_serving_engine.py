@@ -41,8 +41,10 @@ def test_results_routed_to_correct_requests():
 
 def test_padding_ladder_and_stats():
     rng = np.random.default_rng(1)
+    # generous deadline: all 3 submits must land in ONE collect window
+    # even on a loaded box, so the batch/padded-slot counts are exact
     with ServingEngine(_toy_infer, SHAPE, batch_sizes=(4, 8),
-                       max_wait_ms=1.0) as eng:
+                       max_wait_ms=250.0) as eng:
         futs = eng.submit_many(
             rng.normal(size=(3,) + SHAPE).astype(np.float32))
         [f.result(timeout=30) for f in futs]
@@ -104,3 +106,18 @@ def test_autotune_returns_best():
                               iters=2)
     assert out["best"] in (2, 4)
     assert set(out["throughput"]) == {2, 4}
+
+
+def test_submit_after_stop_raises():
+    eng = ServingEngine(_toy_infer, SHAPE)
+    with pytest.raises(RuntimeError):
+        eng.submit(np.zeros(SHAPE, np.float32))  # never started
+    eng.start()
+    eng.stop()
+    with pytest.raises(RuntimeError):
+        eng.submit(np.zeros(SHAPE, np.float32))  # stopped
+
+
+def test_latency_history_bounded():
+    eng = ServingEngine(_toy_infer, SHAPE)
+    assert eng._stats["latencies_ms"].maxlen == 10000
