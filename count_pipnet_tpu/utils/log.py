@@ -73,11 +73,15 @@ class Tee:
         self.file.flush()
 
 
-def tee_std_streams(log_dir):
+def tee_std_streams(log_dir, suffix=""):
     """Route stdout -> out.txt and stderr -> tqdm.txt like the reference
-    entrypoint (main.py:508-537). Returns a restore() callable."""
-    out_file = open(os.path.join(log_dir, "out.txt"), "w")
-    err_file = open(os.path.join(log_dir, "tqdm.txt"), "w")
+    entrypoint (main.py:508-537). Returns a restore() callable.
+
+    ``suffix`` separates per-process files in multi-host runs (every
+    process teeing to the same shared-filesystem path would interleave);
+    main.py passes ".proc<N>" for non-main processes."""
+    out_file = open(os.path.join(log_dir, f"out.txt{suffix}"), "w")
+    err_file = open(os.path.join(log_dir, f"tqdm.txt{suffix}"), "w")
     orig_out, orig_err = sys.stdout, sys.stderr
     sys.stdout = Tee(orig_out, out_file)
     sys.stderr = Tee(orig_err, err_file)

@@ -28,7 +28,14 @@ def main():
     maybe_initialize()
     args = get_args()
     os.makedirs(args.log_dir, exist_ok=True)
-    restore = tee_std_streams(args.log_dir)
+    # multi-host: per-process tee files so N processes never interleave
+    # writes into one shared out.txt (process 0 keeps the plain names)
+    suffix = ""
+    if os.environ.get("JAX_NUM_PROCESSES", "1") not in ("", "1"):
+        import jax
+        if jax.process_index() != 0:
+            suffix = f".proc{jax.process_index()}"
+    restore = tee_std_streams(args.log_dir, suffix)
     try:
         run_pipnet(args)
     except Exception as e:
