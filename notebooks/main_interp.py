@@ -52,23 +52,52 @@ def calculate_global_explanation(run_dir, checkpoint="net_best"):
 
 
 def show_global_explanation(explanation, out_path, threshold=1e-3,
-                            class_names=None, prototype_labels=None):
+                            class_names=None, prototype_labels=None,
+                            group_defs=None):
     """Class x prototype heatmap + per-class relevant-prototype listing
-    (reference notebooks/main_interp.py:390,648)."""
+    (reference notebooks/main_interp.py:390,648). With ``group_defs``
+    (per-prototype dicts from
+    count_pipnet_tpu.interpret.enums.build_group_definitions) the
+    prototype axis is ordered by group priority, tick labels take the
+    group colors, and a colored group band runs above the heatmap —
+    the reference's grouped figure (main_interp.py:648-880)."""
     import matplotlib
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
     w = explanation["weights"]
     C, P = w.shape
+    order = list(range(P))
+    if group_defs:
+        order.sort(key=lambda p: (group_defs[p]["order_priority"], p))
+        w = w[:, order]
     fig, ax = plt.subplots(figsize=(max(6, P * 0.35), max(4, C * 0.3)))
     im = ax.imshow(w, aspect="auto", cmap="magma")
     ax.set_xlabel("Prototype")
     ax.set_ylabel("Class")
     ax.set_xticks(range(P))
-    labels = [
-        (prototype_labels or {}).get(p, f"P{p}") for p in range(P)]
+    if group_defs:
+        labels = [group_defs[p]["label"] for p in order]
+    else:
+        labels = [
+            (prototype_labels or {}).get(p, f"P{p}") for p in range(P)]
     ax.set_xticklabels(labels, rotation=90, fontsize=7)
+    if group_defs:
+        for j, p in enumerate(order):
+            ax.get_xticklabels()[j].set_color(group_defs[p]["color"])
+            # group band above the heatmap (axes coords)
+            ax.add_patch(plt.Rectangle(
+                (j - 0.5, -0.5), 1.0, -max(0.02 * C, 0.3), clip_on=False,
+                facecolor=group_defs[p]["color"], edgecolor="none"))
+        seen = {}
+        for d in group_defs:
+            seen.setdefault(d["group_name"], d["color"])
+        handles = [plt.Line2D([], [], marker="s", linestyle="",
+                              markersize=8, color=c, label=n)
+                   for n, c in seen.items()]
+        ax.legend(handles=handles, loc="lower left",
+                  bbox_to_anchor=(0.0, 1.03), ncol=len(seen), fontsize=7,
+                  frameon=False)
     if class_names and len(class_names) == C:
         ax.set_yticks(range(C))
         ax.set_yticklabels(class_names, fontsize=7)
@@ -76,6 +105,7 @@ def show_global_explanation(explanation, out_path, threshold=1e-3,
     fig.tight_layout()
     fig.savefig(out_path, dpi=130)
     plt.close(fig)
+    w = explanation["weights"]  # listing below uses original order
 
     # text listing: relevant prototypes per class
     lines = []
@@ -100,10 +130,28 @@ def main():
     ap.add_argument("--checkpoint", default="net_best")
     ap.add_argument("--out", default="")
     ap.add_argument("--threshold", type=float, default=1e-3)
+    ap.add_argument("--groups_json", default="",
+                    help="JSON with prototype groups/labels/colors for "
+                         "the grouped figure (same schema as "
+                         "interp_explorer --groups_json)")
     args = ap.parse_args()
     expl = calculate_global_explanation(args.run_dir, args.checkpoint)
     out = args.out or os.path.join(args.run_dir, "global_explanation.png")
-    show_global_explanation(expl, out, threshold=args.threshold)
+    group_defs = None
+    if args.groups_json:
+        import json
+
+        from count_pipnet_tpu.interpret.enums import (
+            build_group_definitions)
+        with open(args.groups_json) as f:
+            spec = json.load(f)
+        group_defs = build_group_definitions(
+            expl["num_prototypes"], spec.get("groups", {}),
+            labels={int(k): v
+                    for k, v in spec.get("labels", {}).items()},
+            colors=spec.get("colors"), priority=spec.get("priority"))
+    show_global_explanation(expl, out, threshold=args.threshold,
+                            group_defs=group_defs)
 
 
 if __name__ == "__main__":

@@ -355,3 +355,28 @@ class TestRunComparator:
         for frag in ("drawScatter", "id=\"toggles\"",
                      "addEventListener('mousemove'"):
             assert frag in html, frag
+
+
+class TestGroupedStaticHeatmap:
+    """show_global_explanation with group_defs (reference
+    main_interp.py:648-880): group-ordered columns, colored band,
+    listing unaffected by the reorder."""
+
+    def test_grouped_png(self, tmp_path):
+        import sys
+        sys.path.insert(0, "/root/repo")
+        sys.path.insert(0, "/root/repo/notebooks")
+        from count_pipnet_tpu.interpret.enums import (
+            build_group_definitions)
+        from notebooks.main_interp import show_global_explanation
+
+        w = np.zeros((3, 4)); w[0, 3] = 2.0; w[1, 0] = 1.0
+        defs = build_group_definitions(
+            4, {"shape": [3], "count": [0]}, labels={3: "Circ(:)"})
+        out = tmp_path / "g.png"
+        lines = show_global_explanation(
+            {"weights": w}, str(out), group_defs=defs)
+        assert out.exists() and out.stat().st_size > 0
+        # listing keeps original prototype indices despite the reorder
+        assert "P3(2.000)" in lines[0]
+        assert "P0(1.000)" in lines[1]
