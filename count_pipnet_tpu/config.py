@@ -111,6 +111,15 @@ def build_parser() -> argparse.ArgumentParser:
              "Pallas kernel (tanh-approx GELU; Pallas forward + "
              "remat-style backward). Same param tree as the standard "
              "path — checkpoints interchange")
+    add("--no_phase_dce", action="store_true",
+        help="disable per-phase static freezing of the compiled train "
+             "step. By default the trainer compiles one step per distinct "
+             "frozen-label set (pretrain / finetune / freeze / unfrozen) "
+             "with stop_gradient baked in, so XLA dead-codes the backward "
+             "of frozen param groups — torch requires_grad semantics "
+             "(reference main.py:238-253,333-390). Disabling keeps the "
+             "single runtime-masked step (one compile, slower frozen "
+             "phases)")
     add("--fused_dwconv", action="store_true",
         help="run the block-opening depthwise conv FORWARD through the "
              "channels-to-lanes Pallas kernel, keeping XLA's conv vjp for "

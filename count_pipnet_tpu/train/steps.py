@@ -23,7 +23,7 @@ Scalar schedule keys:
 """
 
 
-from typing import Dict
+from typing import Dict, FrozenSet
 
 import jax
 import jax.numpy as jnp
@@ -69,6 +69,7 @@ def make_train_step(model, labels, *, is_count_pipnet: bool,
                     tanh_loss_coeff: float = 1.0,
                     weight_decay: float = 0.0,
                     class_weights=None,
+                    frozen_labels: FrozenSet[str] = frozenset(),
                     donate: bool = True):
     """Build the jitted train step.
 
@@ -77,6 +78,17 @@ def make_train_step(model, labels, *, is_count_pipnet: bool,
       labels: static label pytree from optim.label_params.
       is_count_pipnet / enforce_weight_sparsity / tanh_loss_coeff /
       weight_decay / class_weights: static per-run config.
+      frozen_labels: STATIC set of labels whose params get
+        ``stop_gradient`` inside the loss. The reference never computes
+        gradients for ``requires_grad=False`` params (torch autograd DCE);
+        the runtime-scalar mask alone only makes the *update* inert while
+        the full backward still runs. Baking the phase's frozen set in
+        statically lets XLA dead-code the frozen wgrads — and when every
+        label below some depth is frozen (pretrain / freeze_epochs /
+        finetune, main.py:238-253,333-390), the entire backward below
+        that depth disappears. One compiled step per distinct set
+        (<= 4 per run); numerics of the surviving gradients are
+        unchanged (verified by tests/test_phase_dce.py).
 
     Returns:
       train_step(params, model_state, opt_state, batch, rng, sched)
@@ -87,6 +99,7 @@ def make_train_step(model, labels, *, is_count_pipnet: bool,
     wd_by_label["cls_weight"] = weight_decay
     wd_by_label["intermediate"] = weight_decay
     cw = None if class_weights is None else jnp.asarray(class_weights)
+    frozen_labels = frozenset(frozen_labels)
 
     def step(params, model_state, opt_state, batch, rng, sched):
         xs1, xs2, ys = batch
@@ -94,6 +107,11 @@ def make_train_step(model, labels, *, is_count_pipnet: bool,
         g_rng, d_rng = jax.random.split(rng)
 
         def loss_fn(p):
+            if frozen_labels:
+                p = jax.tree_util.tree_map(
+                    lambda leaf, lab: (jax.lax.stop_gradient(leaf)
+                                       if lab in frozen_labels else leaf),
+                    p, labels)
             variables = {"params": p, **model_state}
             (proto, pooled, out), updates = model.apply(
                 variables, x, train=True, tau=sched["tau"],

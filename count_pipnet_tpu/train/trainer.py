@@ -109,12 +109,18 @@ class Trainer:
         class_weights = None
         # (class weighting happens through the weighted sampler in the
         # loader, like the reference; per-class loss weights stay None)
-        self.train_step = make_train_step(
-            self.model, self.labels, is_count_pipnet=self.is_count,
+        self._step_kwargs = dict(
+            is_count_pipnet=self.is_count,
             enforce_weight_sparsity=getattr(args, "enforce_weight_sparsity",
                                             True),
             tanh_loss_coeff=getattr(args, "tanh_loss_coeff", 1.0),
             weight_decay=args.weight_decay, class_weights=class_weights)
+        self.train_step = make_train_step(
+            self.model, self.labels, **self._step_kwargs)
+        # phase-DCE'd step variants, keyed by the frozen-label set
+        # (see make_train_step frozen_labels); the plain step above stays
+        # as the fallback / external entry point.
+        self._phase_steps = {}
         self.eval_step = make_eval_step(self.model,
                                         num_classes=num_classes)
         self.opt_state = adamw_init(self.params)
@@ -241,6 +247,22 @@ class Trainer:
         else:
             feed = lambda tree: shard_batch(self.mesh, tree)  # noqa: E731
 
+        # Pick the phase's compiled step: frozen labels (mask 0.0, plus the
+        # permanent "frozen" group) are baked in statically so XLA drops
+        # their backward entirely — torch requires_grad semantics
+        # (reference main.py:238-253,333-390). --no_phase_dce falls back to
+        # the single runtime-masked step.
+        if getattr(args, "no_phase_dce", False):
+            step_fn = self.train_step
+        else:
+            frozen = frozenset(
+                k for k, v in masks.items() if v == 0.0) | {"frozen"}
+            if frozen not in self._phase_steps:
+                self._phase_steps[frozen] = make_train_step(
+                    self.model, self.labels, frozen_labels=frozen,
+                    **self._step_kwargs)
+            step_fn = self._phase_steps[frozen]
+
         loader.set_epoch(epoch)
         iters = len(loader)
         totals = {k: 0.0 for k in
@@ -302,7 +324,7 @@ class Trainer:
                     np.asarray(xs2, np.float32),
                     np.asarray(ys, np.int32)))
             self.rng, step_rng = jax.random.split(self.rng)
-            self.params, mstate, self.opt_state, metrics = self.train_step(
+            self.params, mstate, self.opt_state, metrics = step_fn(
                 self.params, self._mstate(), self.opt_state, batch,
                 step_rng, sched)
             if "batch_stats" in mstate:
