@@ -70,6 +70,7 @@ def make_train_step(model, labels, *, is_count_pipnet: bool,
                     weight_decay: float = 0.0,
                     class_weights=None,
                     frozen_labels: FrozenSet[str] = frozenset(),
+                    adam_eps: float = 1e-8,
                     donate: bool = True):
     """Build the jitted train step.
 
@@ -135,7 +136,7 @@ def make_train_step(model, labels, *, is_count_pipnet: bool,
         new_params, new_opt_state = adamw_update(
             params, grads, opt_state, labels,
             lr_by_label=sched["lr"], mask_by_label=sched["mask"],
-            wd_by_label=wd_by_label)
+            wd_by_label=wd_by_label, eps=adam_eps)
 
         project = sched["project"] * (1.0 - sched["pretrain"]) * (
             1.0 if enforce_weight_sparsity else 0.0)
