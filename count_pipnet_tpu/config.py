@@ -96,6 +96,13 @@ def build_parser() -> argparse.ArgumentParser:
         help="run the photometric two-view augmentation (color jitter + "
              "crop + noise + normalize) on device instead of host CPU; "
              "supported for the synthetic shapes/mnist recipes")
+    add("--device_geometric", action="store_true",
+        help="with --device_augment on a shapes recipe, also run the "
+             "SHARED geometric transform1 (RandomRotation + "
+             "RandomResizedCrop) on device as one bilinear resample of "
+             "the host's Resize(img+32) canvas; ~10x less host CPU per "
+             "image (distributional parity with the host chain, not "
+             "pixel parity)")
     add("--cache_decoded", action="store_true",
         help="memoize decoded training/eval images in host RAM (skips "
              "PNG/JPEG decode after the first epoch; ~1.5 GB at 10k "

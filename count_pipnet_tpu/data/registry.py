@@ -215,9 +215,19 @@ def get_data(args, basepath="./"):
             # (_shapes_recipe(s, True)) despite its name
             noisy = ("gaussian_noise" in args.dataset
                      or args.dataset == "shapes_200")
+            geo = bool(getattr(args, "device_geometric", False))
+            if geo and args.dataset == "mnist_counting":
+                # the MNIST recipe's transform1 is a RandomAffine with
+                # translate/scale — not covered by the device geo path
+                print("(--device_geometric unsupported for mnist_counting"
+                      "; shared transform1 stays on host)", flush=True)
+                geo = False
             device_aug_cfg = DeviceAugmentConfig(
                 img_size=args.image_size, brightness=0.1, contrast=0.1,
-                noise_std=(0.1 if noisy else 0.0), noise_p=0.5)
+                noise_std=(0.1 if noisy else 0.0), noise_p=0.5,
+                geo=geo, geo_rot=10.0, geo_out=args.image_size + 8,
+                geo_scale=(0.95, 1.0), geo_fill=1.0,
+                geo_canvas=args.image_size + 32)
         else:
             print(f"(--device_augment unsupported for {args.dataset}; "
                   "using host augmentation)", flush=True)
@@ -245,8 +255,17 @@ def get_data(args, basepath="./"):
         testset = TransformedDataset(
             ImageFolder(base / test_d, cache_decoded=cache), no_aug)
 
+    # --device_geometric: the two-view loaders ship the RAW decoded
+    # image (the synthetic generators emit a uniform size); Resize +
+    # rotation + RandomResizedCrop all run on-device as ONE resample
+    # inside the shared transform1 (data/device_augment._shared_geo).
+    # train_normal_augment below keeps the full host chain.
+    t1_twoview = t1
+    if device_aug_cfg is not None and device_aug_cfg.geo:
+        t1_twoview = A.Compose([])
+
     trainset = Subset(
-        TwoAugDataset(trainval, t1, t2,
+        TwoAugDataset(trainval, t1_twoview, t2,
                       single_view=device_aug_cfg is not None),
         train_indices)
     trainset.device_augment_cfg = device_aug_cfg
