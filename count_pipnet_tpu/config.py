@@ -118,6 +118,13 @@ def build_parser() -> argparse.ArgumentParser:
              "Pallas kernel (tanh-approx GELU; Pallas forward + "
              "remat-style backward). Same param tree as the standard "
              "path — checkpoints interchange")
+    add("--max_epochs_per_process", type=int, default=0,
+        help="exit with a resumable checkpoint after this many main "
+             "epochs in one process (0 = unlimited). Works around the "
+             "remote TPU client's per-dispatch host-memory leak "
+             "(~2.8 GB/epoch at the flagship shape — a 60-epoch run "
+             "gets OOM-killed; BENCH_NOTES.md). scripts/train_chunked.py "
+             "re-invokes with --resume_training until done")
     add("--no_phase_dce", action="store_true",
         help="disable per-phase static freezing of the compiled train "
              "step. By default the trainer compiles one step per distinct "

@@ -539,8 +539,13 @@ def run_pipnet(args):
     if not resumed:
         trainer.reinit_optimizers()
     iters = len(trainloader)
+    # On resume, continue the per-iteration cosine from where the
+    # interrupted run left it (finetune epochs don't advance the
+    # counter, so subtract them; matches the torch closed form the
+    # non-resumed path follows).
+    done_epochs = max(0, start_epoch - 1 - args.epochs_finetune)
     net_sched = {"T": iters * args.epochs, "eta_min": args.lr_net / 100.0,
-                 "step": 0}
+                 "step": done_epochs * iters}
     cls_sched = {"T0": 5 if args.epochs <= 30 else 10, "eta_min": 0.001}
 
     epochs_to_finetune = args.epochs_finetune
@@ -551,8 +556,20 @@ def run_pipnet(args):
     profile_dir = getattr(args, "profile_dir", "")
     profiled = False
 
+    # --max_epochs_per_process: bound how many MAIN epochs one process
+    # runs before exiting with a resumable checkpoint. The remote TPU
+    # client leaks host memory per dispatch (~2.8 GB/epoch at the
+    # flagship shape, BENCH_NOTES.md) — long runs get OOM-killed around
+    # 45 epochs; scripts/train_chunked.py re-invokes with
+    # --resume_training until done. 0 disables.
+    chunk_budget = int(getattr(args, "max_epochs_per_process", 0) or 0)
+    chunk_stopped = False
+    chunk_marker = os.path.join(args.log_dir, "checkpoints",
+                                "CHUNK_CONTINUE")
+
     lrs_net, lrs_class = [], []
     eval_rng = jax.random.PRNGKey(args.seed + 7)
+    epochs_this_process = 0
     for epoch in range(start_epoch, args.epochs + 1):
         masks, finetune = trainer.main_masks(epoch, epochs_to_finetune,
                                              freeze_epochs)
@@ -608,6 +625,27 @@ def run_pipnet(args):
                                       epoch, eval_info["top1_accuracy"])
             _plot_lrs(lrs_net, os.path.join(args.log_dir, "lr_net.png"))
             _plot_lrs(lrs_class, os.path.join(args.log_dir, "lr_class.png"))
+
+        epochs_this_process += 1
+        if (chunk_budget and epochs_this_process >= chunk_budget
+                and epoch < args.epochs):
+            chunk_stopped = True
+            if is_main:
+                with open(chunk_marker, "w") as f:
+                    f.write(str(epoch))
+            print(f"\nChunk budget of {chunk_budget} epochs reached at "
+                  f"epoch {epoch}/{args.epochs}; resume with "
+                  "--resume_training to continue.", flush=True)
+            break
+
+    if chunk_stopped:
+        # per-epoch net_trained_last (with an integer epoch in its
+        # metadata) is the resume point; skip the final-"last" overwrite
+        # and the best-model visualization — the finishing chunk does it
+        return trainer
+
+    if is_main and os.path.exists(chunk_marker):
+        os.remove(chunk_marker)
 
     if args.epochs > 1 and is_main:
         ckpt.save_trained_checkpoint(

@@ -34,12 +34,23 @@ class Log:
         return os.path.join(self._log_dir, "checkpoints")
 
     def create_log(self, log_name: str, key_name: str, *value_names):
-        """Create a CSV with header ``key_name,value_names...``."""
+        """Create a CSV with header ``key_name,value_names...``.
+
+        If the file already exists with the IDENTICAL header (a resumed
+        or chunked run re-registering its log), the existing rows are
+        kept and new values append — unlike the reference, whose
+        create_log truncates on resume (util/log.py:48-61)."""
         if log_name in self._logs:
             raise KeyError(f"Log '{log_name}' already exists")
         self._logs[log_name] = (key_name, value_names)
-        with open(os.path.join(self._log_dir, f"{log_name}.csv"), "w") as f:
-            f.write(",".join((key_name,) + value_names) + "\n")
+        header = ",".join((key_name,) + value_names)
+        path = os.path.join(self._log_dir, f"{log_name}.csv")
+        if os.path.exists(path):
+            with open(path) as f:
+                if f.readline().rstrip("\n") == header:
+                    return  # keep history, append from here
+        with open(path, "w") as f:
+            f.write(header + "\n")
 
     def log_values(self, log_name: str, key, *values):
         if log_name not in self._logs:
