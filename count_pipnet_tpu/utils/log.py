@@ -84,15 +84,17 @@ class Tee:
         self.file.flush()
 
 
-def tee_std_streams(log_dir, suffix=""):
+def tee_std_streams(log_dir, suffix="", append=False):
     """Route stdout -> out.txt and stderr -> tqdm.txt like the reference
     entrypoint (main.py:508-537). Returns a restore() callable.
 
     ``suffix`` separates per-process files in multi-host runs (every
     process teeing to the same shared-filesystem path would interleave);
-    main.py passes ".proc<N>" for non-main processes."""
-    out_file = open(os.path.join(log_dir, f"out.txt{suffix}"), "w")
-    err_file = open(os.path.join(log_dir, f"tqdm.txt{suffix}"), "w")
+    main.py passes ".proc<N>" for non-main processes. ``append`` keeps
+    the previous process's history (resumed / chunked runs)."""
+    mode = "a" if append else "w"
+    out_file = open(os.path.join(log_dir, f"out.txt{suffix}"), mode)
+    err_file = open(os.path.join(log_dir, f"tqdm.txt{suffix}"), mode)
     orig_out, orig_err = sys.stdout, sys.stderr
     sys.stdout = Tee(orig_out, out_file)
     sys.stderr = Tee(orig_err, err_file)

@@ -35,7 +35,10 @@ def main():
         import jax
         if jax.process_index() != 0:
             suffix = f".proc{jax.process_index()}"
-    restore = tee_std_streams(args.log_dir, suffix)
+    # resumed/chunked runs append so the first chunk's history survives
+    restore = tee_std_streams(args.log_dir, suffix,
+                              append=getattr(args, "resume_training",
+                                             False))
     try:
         run_pipnet(args)
     except Exception as e:
