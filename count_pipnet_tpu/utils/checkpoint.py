@@ -65,6 +65,15 @@ def _save_file(path: str, tree: Dict[str, Any], meta: Dict[str, Any]):
     os.replace(path + ".json.tmp", path + ".json")
 
 
+def _load_meta(path: str):
+    """Read a checkpoint's .json sidecar; None if absent/corrupt."""
+    try:
+        with open(path + ".json") as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return None
+
+
 def _graft(target, saved):
     """Partial restore: copy saved leaves onto the target tree wherever
     the path exists in both and shapes match; keep the target's fresh
@@ -152,7 +161,15 @@ class CheckpointManager:
             self.search_dirs.append(
                 os.path.join(args.pretrained_checkpoints_dir, "checkpoints"))
         self.search_dirs.append(self.log_ckpt_dir)
+        # Seed best-accuracy tracking from an existing net_best sidecar:
+        # a resumed/chunked process must not clobber the true best with
+        # its own first (worse) epoch. The reference tracks best only
+        # in-process and has the same clobbering on resume
+        # (checkpoint_manager.py:251-308); here resume is first-class.
         self.best_accuracy = -1.0
+        meta = _load_meta(os.path.join(self.log_ckpt_dir, "net_best"))
+        if meta and "accuracy" in meta:
+            self.best_accuracy = float(meta["accuracy"])
 
     # -- save ---------------------------------------------------------------
     def _state(self, params, batch_stats=None, opt_state=None):

@@ -252,3 +252,26 @@ class TestDonorDirShadowing:
         cm2 = CheckpointManager(run2)
         state2, meta2 = cm2.load_best_checkpoint()
         assert meta2["epoch"] == 97
+
+
+class TestBestAcrossProcesses:
+    def test_resumed_manager_does_not_clobber_best(self, tmp_path):
+        """A fresh manager over an existing run dir must seed its best
+        accuracy from the net_best sidecar: a resumed process's first
+        (worse) epoch must NOT overwrite the true best (regression: the
+        flagship resume overwrote a 14.3% net_best with 1.45%)."""
+        args = Args(str(tmp_path))
+        m1 = CheckpointManager(args)
+        p = fake_params()
+        assert m1.save_best_checkpoint(p, {}, {}, epoch=7, accuracy=0.143)
+
+        m2 = CheckpointManager(args)  # the resumed process
+        assert m2.best_accuracy == pytest.approx(0.143)
+        assert not m2.save_best_checkpoint(p, {}, {}, epoch=38,
+                                           accuracy=0.0145)
+        best = m2.load_best_checkpoint()
+        assert best is not None
+        assert best[1]["epoch"] == 7
+        # a genuine improvement still saves
+        assert m2.save_best_checkpoint(p, {}, {}, epoch=40, accuracy=0.2)
+        assert m2.load_best_checkpoint()[1]["epoch"] == 40
