@@ -96,6 +96,38 @@ def test_two_process_full_trainer(tmp_path):
         cwd=tmp_path, capture_output=True, text=True, timeout=120)
     assert gen.returncode == 0, gen.stdout + gen.stderr
 
+    # Warm the persistent compile cache with a single-process run of the
+    # SAME config first: in the 2-process cluster the workers meet in
+    # Gloo collectives with a ~30 s handshake timeout, and on this
+    # 1-core box a cold XLA compile skews the processes far past it
+    # (observed flaking under load). With a warm cache both workers
+    # reach the collective within seconds.
+    warm_env = dict(os.environ)
+    warm_env.pop("PYTHONSTARTUP", None)
+    warm_env.update({
+        "JAX_PLATFORMS": "cpu",
+        "XLA_FLAGS": "--xla_force_host_platform_device_count=2",
+        "JAX_COMPILATION_CACHE_DIR": os.path.join(REPO, ".jax_cache"),
+        "PYTHONPATH": REPO + os.pathsep + os.environ.get("PYTHONPATH", ""),
+    })
+    warm = subprocess.run(
+        [sys.executable, os.path.join(REPO, "main.py"),
+         "--dataset", "geometric_shapes", "--model", "count_pipnet",
+         "--image_size", "32", "--net", "convnext_tiny_26",
+         "--use_mid_layers", "--num_stages", "1",
+         "--num_features", "8", "--max_count", "3",
+         "--use_ste", "True", "--intermediate_layer", "onehot",
+         "--batch_size", "4", "--batch_size_pretrain", "4",
+         "--epochs", "2", "--epochs_pretrain", "1",
+         "--epochs_finetune", "0", "--freeze_epochs", "0",
+         "--lr", "0.01", "--lr_block", "0.001", "--lr_net", "0.001",
+         "--num_workers", "0", "--seed", "1", "--dtype", "float32",
+         "--tanh_loss_coeff", "0.1", "--disable_pretrained",
+         "--log_dir", str(tmp_path / "runs/warm")],
+        env=warm_env, cwd=tmp_path, capture_output=True, text=True,
+        timeout=540)
+    assert warm.returncode == 0, warm.stdout[-3000:]
+
     port = _free_port()
     log_dir = tmp_path / "runs/mh"
     procs = []
