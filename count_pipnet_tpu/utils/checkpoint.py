@@ -23,6 +23,7 @@ torch.save dicts, no orbax directory trees to rsync around).
 import hashlib
 import json
 import os
+import shutil
 from typing import Any, Dict
 
 import jax
@@ -193,14 +194,21 @@ class CheckpointManager:
 
     def save_trained_checkpoint(self, params, batch_stats, opt_state, epoch):
         """Rolling net_trained + net_trained_last
-        (checkpoint_manager.py:149-191)."""
+        (checkpoint_manager.py:149-191). Serialized once; the second
+        role is a file copy (the msgpack of a flagship-size tree is
+        ~320 MB — serializing it twice per epoch measurably slows
+        checkpoint-heavy runs on a 1-core host)."""
         state = self._state(params, batch_stats, opt_state)
         meta = {"epoch": epoch if isinstance(epoch, int) else str(epoch),
                 "config_hash": self.hash}
-        _save_file(os.path.join(self.log_ckpt_dir, "net_trained"),
-                   state, meta)
-        _save_file(os.path.join(self.log_ckpt_dir, "net_trained_last"),
-                   state, meta)
+        first = os.path.join(self.log_ckpt_dir, "net_trained")
+        _save_file(first, state, meta)
+        second = os.path.join(self.log_ckpt_dir, "net_trained_last")
+        tmp = second + ".tmp"
+        shutil.copyfile(first, tmp)
+        os.replace(tmp, second)
+        shutil.copyfile(first + ".json", second + ".json.tmp")
+        os.replace(second + ".json.tmp", second + ".json")
 
     def save_best_checkpoint(self, params, batch_stats, opt_state, epoch,
                              accuracy):
