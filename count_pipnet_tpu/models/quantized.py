@@ -272,7 +272,7 @@ def fused_block_convnext_apply(params: Dict, x, *,
             break
         b, hh, ww, c = h.shape
         use_int8 = c >= int8_min_dim
-        if padded_planes and c <= padded_max_dim and not dw_bf16:
+        if padded_planes and c <= padded_max_dim:
             # zero-padded plane layout: vertical dwconv taps become
             # aligned static slices, horizontal rolls need no masks
             # (ops/pallas/fused_block.py:_dwconv_pad; bit-identical,
@@ -280,8 +280,6 @@ def fused_block_convnext_apply(params: Dict, x, *,
             # NOT at stage-4 width: the pad rows are +23% there and the
             # [*, (26+6)*32, 768] blocks exceed the 16 MB scoped-VMEM
             # limit (measured compile OOM on v5e).
-            # NOT with dw_bf16: the padded kernel has no bf16 tap mode —
-            # fall through to fused_block_apply so the flag stays honest.
             from ..ops.pallas.fused_block import (
                 fused_block_apply_padded, pad_planes, unpad_planes,
             )
@@ -297,7 +295,7 @@ def fused_block_convnext_apply(params: Dict, x, *,
                     blk["pw2"]["bias"], blk["layer_scale"],
                     int8=use_int8,
                     act_scales=(act_scales or {}).get(scope),
-                    interpret=interpret)
+                    dw_bf16=dw_bf16, interpret=interpret)
             h = unpad_planes(xp, hh, ww)
         else:
             flat = h.reshape(b, hh * ww, c)

@@ -123,7 +123,7 @@ def plane_colmask(h, w, wp=None):
         (np.arange(h * wp) % wp < w).astype(np.float32).reshape(h * wp, 1))
 
 
-def _dwconv_pad(xp32, wk, bias, colmask, h, wp):
+def _dwconv_pad(xp, wk, bias, colmask, h, wp, tap_dtype=jnp.float32):
     """Depthwise 7x7 on a zero-padded [3*WP + H*WP + 3*WP, C] plane.
 
     The padding IS the halo: vertical taps are 8-aligned static slices
@@ -132,16 +132,25 @@ def _dwconv_pad(xp32, wk, bias, colmask, h, wp):
     in from the >=3 pad columns; partial sums at pad columns are exactly
     zero so rolled-in boundary values are correct). One column mask at
     the end restores the pad-column invariant for the next block.
+
+    ``tap_dtype=bfloat16`` runs the 49 tap FMAs in bf16 (vertical taps
+    are static slices, so unlike :func:`_dwconv_flat` NO f32 copy of the
+    input is needed at all when the plane arrives bf16); each per-dx
+    partial sum is cast to f32 before its roll (Mosaic dynamic_rotate is
+    32-bit-only) and the cross-dx accumulation stays f32.
     Returns [H*WP, C] f32.
     """
     hwp = h * wp
-    c = xp32.shape[-1]
+    c = xp.shape[-1]
+    x_t = xp.astype(tap_dtype)
+    wk_t = wk.astype(tap_dtype)
     acc = jnp.broadcast_to(bias.astype(jnp.float32), (hwp, c))
     for dx in range(K):
         vs = None
         for dy in range(K):
-            t = xp32[dy * wp:dy * wp + hwp] * wk[dy * K + dx]
+            t = x_t[dy * wp:dy * wp + hwp] * wk_t[dy * K + dx]
             vs = t if vs is None else vs + t
+        vs = vs.astype(jnp.float32)
         sd = dx - PAD
         if sd:
             vs = pltpu.roll(vs, (-sd) % hwp, axis=0)
@@ -240,19 +249,20 @@ def _kernel_int8_static(x_ref, dwk_ref, dwb_ref, lns_ref, lnb_ref, w1_ref,
 
 def _kernel_bf16_pad(x_ref, dwk_ref, dwb_ref, lns_ref, lnb_ref, w1_ref,
                      b1_ref, w2_ref, b2_ref, g_ref, cm_ref, out_ref,
-                     *, h, wp, eps):
+                     *, h, wp, eps, tap_dtype):
     hwp = h * wp
     padr = PAD * wp
     c = x_ref.shape[-1]
-    xp32 = x_ref[0].astype(jnp.float32)
-    d = _dwconv_pad(xp32, dwk_ref[0], dwb_ref[:], cm_ref[:], h, wp)
+    d = _dwconv_pad(x_ref[0], dwk_ref[0], dwb_ref[:], cm_ref[:], h, wp,
+                    tap_dtype=tap_dtype)
     n = _layer_norm_rows(d, lns_ref[:], lnb_ref[:], eps)
     hid = jnp.dot(n.astype(jnp.bfloat16), w1_ref[:],
                   preferred_element_type=jnp.float32) + b1_ref[:]
     a = jax.nn.gelu(hid, approximate=True)
     y = jnp.dot(a.astype(jnp.bfloat16), w2_ref[:],
                 preferred_element_type=jnp.float32) + b2_ref[:]
-    res = (xp32[padr:padr + hwp] + y * g_ref[:]) * cm_ref[:]
+    res = (x_ref[0, padr:padr + hwp].astype(jnp.float32)
+           + y * g_ref[:]) * cm_ref[:]
     out_ref[0, padr:padr + hwp] = res.astype(out_ref.dtype)
     out_ref[0, :padr] = jnp.zeros((padr, c), out_ref.dtype)
     out_ref[0, padr + hwp:] = jnp.zeros((padr, c), out_ref.dtype)
@@ -260,12 +270,12 @@ def _kernel_bf16_pad(x_ref, dwk_ref, dwb_ref, lns_ref, lnb_ref, w1_ref,
 
 def _kernel_int8_pad(x_ref, dwk_ref, dwb_ref, lns_ref, lnb_ref, w1_ref,
                      s1_ref, b1_ref, w2_ref, s2_ref, b2_ref, g_ref,
-                     cm_ref, out_ref, *, h, wp, eps):
+                     cm_ref, out_ref, *, h, wp, eps, tap_dtype):
     hwp = h * wp
     padr = PAD * wp
     c = x_ref.shape[-1]
-    xp32 = x_ref[0].astype(jnp.float32)
-    d = _dwconv_pad(xp32, dwk_ref[0], dwb_ref[:], cm_ref[:], h, wp)
+    d = _dwconv_pad(x_ref[0], dwk_ref[0], dwb_ref[:], cm_ref[:], h, wp,
+                    tap_dtype=tap_dtype)
     n = _layer_norm_rows(d, lns_ref[:], lnb_ref[:], eps)
     nq, nsc = _quant_rows(n)
     hid = jnp.dot(nq, w1_ref[:], preferred_element_type=jnp.int32)
@@ -274,7 +284,8 @@ def _kernel_int8_pad(x_ref, dwk_ref, dwb_ref, lns_ref, lnb_ref, w1_ref,
     aq, asc = _quant_rows(a)
     y = jnp.dot(aq, w2_ref[:], preferred_element_type=jnp.int32)
     y = y.astype(jnp.float32) * asc * s2_ref[:] + b2_ref[:]
-    res = (xp32[padr:padr + hwp] + y * g_ref[:]) * cm_ref[:]
+    res = (x_ref[0, padr:padr + hwp].astype(jnp.float32)
+           + y * g_ref[:]) * cm_ref[:]
     out_ref[0, padr:padr + hwp] = res.astype(out_ref.dtype)
     out_ref[0, :padr] = jnp.zeros((padr, c), out_ref.dtype)
     out_ref[0, padr + hwp:] = jnp.zeros((padr, c), out_ref.dtype)
@@ -283,12 +294,12 @@ def _kernel_int8_pad(x_ref, dwk_ref, dwb_ref, lns_ref, lnb_ref, w1_ref,
 def _kernel_int8_static_pad(x_ref, dwk_ref, dwb_ref, lns_ref, lnb_ref,
                             w1_ref, s1_ref, b1_ref, i1_ref, w2_ref, s2_ref,
                             b2_ref, i2_ref, g_ref, cm_ref, out_ref,
-                            *, h, wp, eps):
+                            *, h, wp, eps, tap_dtype):
     hwp = h * wp
     padr = PAD * wp
     c = x_ref.shape[-1]
-    xp32 = x_ref[0].astype(jnp.float32)
-    d = _dwconv_pad(xp32, dwk_ref[0], dwb_ref[:], cm_ref[:], h, wp)
+    d = _dwconv_pad(x_ref[0], dwk_ref[0], dwb_ref[:], cm_ref[:], h, wp,
+                    tap_dtype=tap_dtype)
     n = _layer_norm_rows(d, lns_ref[:], lnb_ref[:], eps)
     nq = _quant_static(n, i1_ref[:])
     hid = jnp.dot(nq, w1_ref[:], preferred_element_type=jnp.int32)
@@ -297,7 +308,8 @@ def _kernel_int8_static_pad(x_ref, dwk_ref, dwb_ref, lns_ref, lnb_ref,
     aq = _quant_static(a, i2_ref[:])
     y = jnp.dot(aq, w2_ref[:], preferred_element_type=jnp.int32)
     y = y.astype(jnp.float32) * s2_ref[:] + b2_ref[:]
-    res = (xp32[padr:padr + hwp] + y * g_ref[:]) * cm_ref[:]
+    res = (x_ref[0, padr:padr + hwp].astype(jnp.float32)
+           + y * g_ref[:]) * cm_ref[:]
     out_ref[0, padr:padr + hwp] = res.astype(out_ref.dtype)
     out_ref[0, :padr] = jnp.zeros((padr, c), out_ref.dtype)
     out_ref[0, padr + hwp:] = jnp.zeros((padr, c), out_ref.dtype)
@@ -306,6 +318,7 @@ def _kernel_int8_static_pad(x_ref, dwk_ref, dwb_ref, lns_ref, lnb_ref,
 def fused_block_apply_padded(xp, h, w, dw_kernel, dw_bias, ln_scale,
                              ln_bias, w1, b1, w2, b2, gamma, *,
                              int8: bool = False, act_scales=None,
+                             dw_bf16: bool = False,
                              eps: float = 1e-6,
                              interpret: bool = False):
     """Whole ConvNeXt block on zero-padded planes (see pad_planes).
@@ -317,10 +330,13 @@ def fused_block_apply_padded(xp, h, w, dw_kernel, dw_bias, ln_scale,
     invariant restored for chaining. ``act_scales``: optional
     (amax_ln [C], amax_gelu [4C]) calibrated activation maxima — switches
     the int8 path to static quantization (see :func:`_quant_static`).
+    ``dw_bf16``: run the 49 dwconv tap FMAs in bf16 (see
+    :func:`_dwconv_pad`) — roughly halves the kernel's VPU tap cost.
     """
     b, tot, c = xp.shape
     wp = _wp_for(w)
     assert tot == (h + 2 * PAD) * wp, (tot, h, w, wp)
+    tap_dtype = jnp.bfloat16 if dw_bf16 else jnp.float32
     hdim = w1.shape[1]
     hwp = h * wp
     dwk = jnp.asarray(dw_kernel, jnp.float32).reshape(1, K * K, c)
@@ -340,7 +356,7 @@ def fused_block_apply_padded(xp, h, w, dw_kernel, dw_bias, ln_scale,
         w1q, s1, i1 = quantize_block_weights_folded(w1, act_scales[0])
         w2q, s2, i2 = quantize_block_weights_folded(w2, act_scales[1])
         kern = functools.partial(_kernel_int8_static_pad, h=h, wp=wp,
-                                 eps=eps)
+                                 eps=eps, tap_dtype=tap_dtype)
         in_specs = common + [
             pl.BlockSpec(s, rep, memory_space=space)
             for s in [(1, c), (1, c), (1, c), (c, hdim), (1, hdim),
@@ -352,7 +368,8 @@ def fused_block_apply_padded(xp, h, w, dw_kernel, dw_bias, ln_scale,
     elif int8:
         w1q, s1 = quantize_block_weights(w1)
         w2q, s2 = quantize_block_weights(w2)
-        kern = functools.partial(_kernel_int8_pad, h=h, wp=wp, eps=eps)
+        kern = functools.partial(_kernel_int8_pad, h=h, wp=wp, eps=eps,
+                                 tap_dtype=tap_dtype)
         in_specs = common + [
             pl.BlockSpec(s, rep, memory_space=space)
             for s in [(1, c), (1, c), (1, c), (c, hdim), (1, hdim),
@@ -361,7 +378,8 @@ def fused_block_apply_padded(xp, h, w, dw_kernel, dw_bias, ln_scale,
         args += [w1q, s1, vec(b1, hdim), w2q, s2, vec(b2, c),
                  vec(gamma, c), cm]
     else:
-        kern = functools.partial(_kernel_bf16_pad, h=h, wp=wp, eps=eps)
+        kern = functools.partial(_kernel_bf16_pad, h=h, wp=wp, eps=eps,
+                                 tap_dtype=tap_dtype)
         in_specs = common + [
             pl.BlockSpec(s, rep, memory_space=space)
             for s in [(1, c), (1, c), (1, c), (c, hdim), (1, hdim),

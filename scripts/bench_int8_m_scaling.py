@@ -6,17 +6,23 @@ stage-4 shapes, and called the gap "shape-driven, not fixable at C=384".
 That conclusion was reached at M=729 only.  The MLP part of a ConvNeXt
 block has NO spatial structure — rows can be tiled across images
 ([B*HW, C] flat), so if the rate recovers at M-tiles of 1024/2048 the
-right serving design for stage 3 is a split kernel: XLA (or padded-
-plane Pallas) dwconv per image, then one flat-rows int8 MLP megakernel
-over the whole batch at a fat M tile.
+right serving design for stage 3 is a split kernel: the existing
+whole-block kernel up to LN+quant per image, then one flat-rows int8
+MLP megakernel over the whole batch at a fat M tile.
 
-Times a pre-quantized int8 x int8 -> int32 pallas GEMM (pure MXU rate,
-no quant overhead) at stage-3 K/N for row tiles {256,512,729,1024,2048}
-and both GEMM orientations (C->4C and 4C->C).  Run on an IDLE TPU:
+The probe mirrors the real kernel's dataflow: each grid step loads an
+int8 [tile, C] row block, runs dot(W1) -> shift-cast to int8 ->
+dot(W2) -> int8 out, with both weights VMEM-resident across the grid —
+the 4C intermediate never leaves VMEM, and the in/out HBM traffic per
+step is tile*C*2 bytes (int8), so the measurement is MXU-rate-bound,
+not bandwidth-bound.  A first version of this probe timed standalone
+single GEMMs with bf16 outputs and measured 50 TF/s — pure HBM write
+bandwidth, not the MXU; do not measure it that way.
 
-    python scripts/bench_int8_m_scaling.py
+Run on an IDLE TPU:  python scripts/bench_int8_m_scaling.py
 """
 
+import argparse
 import functools
 import time
 
@@ -26,54 +32,68 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-
-def _kern(x_ref, w_ref, out_ref):
-    out_ref[:] = jnp.dot(
-        x_ref[:], w_ref[:], preferred_element_type=jnp.int32
-    ).astype(out_ref.dtype)
+C = 384
+HID = 4 * C
 
 
-def int8_gemm(x, w, row_tile, out_dtype=jnp.bfloat16):
-    m, k = x.shape
-    _, n = w.shape
+def _kern(x_ref, w1_ref, w2_ref, out_ref):
+    hid = jnp.dot(x_ref[:], w1_ref[:], preferred_element_type=jnp.int32)
+    hq = (hid >> 8).astype(jnp.int8)
+    y = jnp.dot(hq, w2_ref[:], preferred_element_type=jnp.int32)
+    out_ref[:] = (y >> 8).astype(jnp.int8)
+
+
+def mlp_dots(xq, w1q, w2q, row_tile):
+    m, c = xq.shape
     assert m % row_tile == 0
+    rep = lambda i: (0, 0)
     return pl.pallas_call(
         _kern,
         grid=(m // row_tile,),
         in_specs=[
-            pl.BlockSpec((row_tile, k), lambda i: (i, 0),
+            pl.BlockSpec((row_tile, c), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((k, n), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, HID), rep, memory_space=pltpu.VMEM),
+            pl.BlockSpec((HID, c), rep, memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((row_tile, n), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((row_tile, c), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((m, n), out_dtype),
-    )(x, w)
+        out_shape=jax.ShapeDtypeStruct((m, c), jnp.int8),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",)),
+    )(xq, w1q, w2q)
 
 
-def int8_gemm_mn(x, w, row_tile, col_tile, out_dtype=jnp.bfloat16):
-    """2-D (M,N) grid so fat M tiles fit VMEM with half-width N panels."""
-    m, k = x.shape
-    _, n = w.shape
-    assert m % row_tile == 0 and n % col_tile == 0
+def _kern_3d(x_ref, w1_ref, w2_ref, out_ref):
+    hid = jnp.dot(x_ref[0], w1_ref[:], preferred_element_type=jnp.int32)
+    hq = (hid >> 8).astype(jnp.int8)
+    y = jnp.dot(hq, w2_ref[:], preferred_element_type=jnp.int32)
+    out_ref[0] = (y >> 8).astype(jnp.int8)
+
+
+def mlp_dots_per_image(xq3, w1q, w2q):
+    """Control: the current per-image layout ([B, HW, C], M=HW=729)."""
+    b, hw, c = xq3.shape
+    rep = lambda i: (0, 0)
     return pl.pallas_call(
-        _kern,
-        grid=(m // row_tile, n // col_tile),
+        _kern_3d,
+        grid=(b,),
         in_specs=[
-            pl.BlockSpec((row_tile, k), lambda i, j: (i, 0),
+            pl.BlockSpec((1, hw, c), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((k, col_tile), lambda i, j: (0, j),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, HID), rep, memory_space=pltpu.VMEM),
+            pl.BlockSpec((HID, c), rep, memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((row_tile, col_tile), lambda i, j: (i, j),
+        out_specs=pl.BlockSpec((1, hw, c), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((m, n), out_dtype),
-    )(x, w)
+        out_shape=jax.ShapeDtypeStruct((b, hw, c), jnp.int8),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",)),
+    )(xq3, w1q, w2q)
 
 
-def time_min(fn, *args, iters=10, reps=3):
-    f = jax.jit(lambda *a: jnp.sum(fn(*a).astype(jnp.float32)))
+def time_min(fn, *args, iters=20, reps=3):
+    f = jax.jit(lambda *a: jnp.sum(fn(*a).astype(jnp.int32)))
     jax.device_get(f(*args))
     best = float("inf")
     for _ in range(reps):
@@ -86,39 +106,45 @@ def time_min(fn, *args, iters=10, reps=3):
 
 
 def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=256)
+    args = ap.parse_args()
     rng = np.random.default_rng(0)
-    batch, hw = 256, 729
-    rows_total = batch * hw  # 186624
-    # s3 up/down, s4 up (rate anchor), s2 up (int8-for-stage2 question)
-    shapes = [(384, 1536), (1536, 384), (768, 3072), (192, 768)]
-    print(f"{'K':>5} {'N':>5} {'tile':>5} {'ms':>8} {'TF/s':>7}")
-    for k, n in shapes:
-        w = rng.integers(-127, 127, size=(k, n), dtype=np.int8)
-        for tile in (256, 512, 729, 1024, 2048, 4096):
-            m = (rows_total // tile) * tile
-            # VMEM: tile*k + k*n int8 + tile*n bf16 out (+acc)
-            vmem = tile * k + k * n + tile * n * 2 + tile * n * 4
-            if vmem > 14e6:
-                print(f"{k:>5} {n:>5} {tile:>5}    (skip: VMEM {vmem/1e6:.1f} MB)")
-                continue
-            x = rng.integers(-127, 127, size=(m, k), dtype=np.int8)
-            dt = time_min(functools.partial(int8_gemm, row_tile=tile),
-                          jnp.asarray(x), jnp.asarray(w))
-            tf = 2 * m * k * n / dt / 1e12
-            print(f"{k:>5} {n:>5} {tile:>5} {dt*1e3:8.2f} {tf:7.1f}")
-        # fat-M with half-N panels (2-D grid) — only matters for wide N
-        for tile, ctile in ((2048, n // 2), (4096, n // 4)):
-            m = (rows_total // tile) * tile
-            vmem = tile * k + k * ctile + tile * ctile * 6
-            if vmem > 14e6 or ctile % 128:
-                continue
-            x = rng.integers(-127, 127, size=(m, k), dtype=np.int8)
-            dt = time_min(
-                functools.partial(int8_gemm_mn, row_tile=tile,
-                                  col_tile=ctile),
-                jnp.asarray(x), jnp.asarray(w))
-            tf = 2 * m * k * n / dt / 1e12
-            print(f"{k:>5} {n:>5} {tile:>5}x{ctile:<5} {dt*1e3:6.2f} {tf:7.1f}")
+    hw = 729
+    rows_total = args.batch * hw  # 186624 at batch 256
+    w1q = jnp.asarray(
+        rng.integers(-127, 127, size=(C, HID), dtype=np.int8))
+    w2q = jnp.asarray(
+        rng.integers(-127, 127, size=(HID, C), dtype=np.int8))
+
+    # control: current per-image layout, M=729
+    xq3 = jnp.asarray(rng.integers(
+        -127, 127, size=(args.batch, hw, C), dtype=np.int8))
+    dt = time_min(mlp_dots_per_image, xq3, w1q, w2q)
+    fl = 4 * args.batch * hw * C * HID
+    print(f"{'tile':>6} {'ms':>8} {'TF/s':>7}")
+    print(f"{'729/img':>6} {dt*1e3:8.2f} {fl/dt/1e12:7.1f}")
+
+    for tile in (256, 512, 728, 1024, 1536, 2048):
+        # VMEM: x tile*C + w 2*C*HID int8 + hid int32 tile*HID*4
+        #       + hq tile*HID + y tile*C*4 + out tile*C
+        vmem = (tile * C * 2 + 2 * C * HID + tile * HID * 5
+                + tile * C * 5)
+        m = (rows_total // tile) * tile
+        if vmem > 15e6:
+            print(f"{tile:>6}    (skip: est VMEM {vmem/1e6:.1f} MB)")
+            continue
+        xq = jnp.asarray(rng.integers(
+            -127, 127, size=(m, C), dtype=np.int8))
+        try:
+            dt = time_min(functools.partial(mlp_dots, row_tile=tile),
+                          xq, w1q, w2q)
+        except Exception as e:  # VMEM/compile edge: report and move on
+            print(f"{tile:>6}    FAILED {type(e).__name__}: "
+                  f"{str(e)[:120]}")
+            continue
+        fl = 4 * m * C * HID
+        print(f"{tile:>6} {dt*1e3:8.2f} {fl/dt/1e12:7.1f}")
 
 
 if __name__ == "__main__":

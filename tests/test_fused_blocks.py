@@ -326,6 +326,31 @@ class TestPaddedPlaneBlocks:
         assert np.all(full[:, :3] == 0) and np.all(full[:, -3:] == 0)
         assert np.all(full[:, 3:-3, w:] == 0)
 
+    def test_padded_dw_bf16_taps_close(self):
+        """dw_bf16 mode of the PADDED kernel: the 49 tap FMAs run in
+        bf16 with f32 per-dx accumulation — values must stay within
+        bf16 tolerance of the f32-tap kernel. (Measured SLOWER on TPU
+        than f32 taps — BENCH_NOTES round 3 negative result — so it is
+        opt-in; this test keeps the mode honest.)"""
+        from count_pipnet_tpu.ops.pallas.fused_block import (
+            fused_block_apply_padded, pad_planes, unpad_planes,
+        )
+        h, w = 9, 9
+        c = 16
+        rng = np.random.default_rng(3)
+        p = self._params(c, rng)
+        x4 = rng.normal(size=(2, h, w, c)).astype(np.float32)
+        xp = pad_planes(jnp.asarray(x4))
+        outs = []
+        for dw_bf16 in (False, True):
+            got = fused_block_apply_padded(
+                xp, h, w, p["dwk"], p["dwb"], p["lns"], p["lnb"],
+                p["w1"], p["b1"], p["w2"], p["b2"], p["g"],
+                dw_bf16=dw_bf16, interpret=True)
+            outs.append(np.asarray(unpad_planes(got, h, w), np.float32))
+        np.testing.assert_allclose(outs[1], outs[0], atol=3e-2,
+                                   rtol=3e-2)
+
     def test_serving_forward_padded_matches_flat(self):
         from count_pipnet_tpu.models.quantized import (
             fused_block_convnext_apply,
