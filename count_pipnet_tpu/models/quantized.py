@@ -211,7 +211,7 @@ def fused_block_convnext_apply(params: Dict, x, *,
                                num_stages: int = 7,
                                stage_settings=CONVNEXT_TINY_STAGES,
                                dtype=jnp.bfloat16,
-                               int8_min_dim: int = 384,
+                               int8_min_dim: int = 96,
                                int8_downsample: bool = False,
                                dw_bf16: bool = False,
                                padded_planes: bool = True,
@@ -222,8 +222,13 @@ def fused_block_convnext_apply(params: Dict, x, *,
     (ops/pallas/fused_block.py: dwconv + LN + MLP + layer-scale +
     residual, planes kept flattened [B, H*W, C] across each stage).
     Stages whose width is >= ``int8_min_dim`` run their pointwise GEMMs
-    in int8 (measured 125-207 TF/s vs the 126 TF/s bf16 ceiling); narrow
-    stages stay bf16 (int8 is not faster below C=384). In-block int8
+    in int8 (measured 125-207 TF/s vs the 126 TF/s bf16 ceiling). With
+    the round-2 dynamic per-row quantization the break-even width was
+    C=384; the static calibrated scales (round 3) drop the quant cost to
+    one broadcast multiply, making int8 a small win at every width
+    (+0.8% end-to-end at C>=96, scripts/bench_int8_stage2.py, exact
+    argmax agreement) — so the default now quantizes every stage.
+    In-block int8
     noise is suppressed by the tiny layer-scale on the branch, so counts
     and top-1 agree exactly with the bf16 path; ``int8_downsample``
     additionally quantizes the wide stride-1 downsample GEMM (~4%
