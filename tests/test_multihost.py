@@ -128,47 +128,65 @@ def test_two_process_full_trainer(tmp_path):
         timeout=540)
     assert warm.returncode == 0, warm.stdout[-3000:]
 
-    port = _free_port()
     log_dir = tmp_path / "runs/mh"
-    procs = []
-    for pid in range(2):
-        env = dict(os.environ)
-        env.pop("PYTHONSTARTUP", None)
-        env.update({
-            "JAX_COORDINATOR_ADDRESS": f"127.0.0.1:{port}",
-            "JAX_NUM_PROCESSES": "2",
-            "JAX_PROCESS_ID": str(pid),
-            "JAX_PLATFORMS": "cpu",
-            "XLA_FLAGS": "--xla_force_host_platform_device_count=2",
-            "JAX_COMPILATION_CACHE_DIR": os.path.join(REPO, ".jax_cache"),
-            "PYTHONPATH": REPO + os.pathsep + env.get("PYTHONPATH", ""),
-        })
-        procs.append(subprocess.Popen(
-            [sys.executable, os.path.join(REPO, "main.py"),
-             "--dataset", "geometric_shapes", "--model", "count_pipnet",
-             "--image_size", "32", "--net", "convnext_tiny_26",
-             "--use_mid_layers", "--num_stages", "1",
-             "--num_features", "8", "--max_count", "3",
-             "--use_ste", "True", "--intermediate_layer", "onehot",
-             "--batch_size", "4", "--batch_size_pretrain", "4",
-             "--epochs", "2", "--epochs_pretrain", "1",
-             "--epochs_finetune", "0", "--freeze_epochs", "0",
-             "--lr", "0.01", "--lr_block", "0.001", "--lr_net", "0.001",
-             "--num_workers", "0", "--seed", "1", "--dtype", "float32",
-             "--tanh_loss_coeff", "0.1", "--disable_pretrained",
-             "--log_dir", str(log_dir)],
-            env=env, cwd=tmp_path,
-            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True))
 
-    outs = []
-    for p in procs:
-        try:
-            out, _ = p.communicate(timeout=540)
-        except subprocess.TimeoutExpired:
-            for q in procs:
-                q.kill()
-            pytest.fail("full-trainer worker timed out")
-        outs.append(out)
+    def launch_cluster():
+        port = _free_port()
+        procs = []
+        for pid in range(2):
+            env = dict(os.environ)
+            env.pop("PYTHONSTARTUP", None)
+            env.update({
+                "JAX_COORDINATOR_ADDRESS": f"127.0.0.1:{port}",
+                "JAX_NUM_PROCESSES": "2",
+                "JAX_PROCESS_ID": str(pid),
+                "JAX_PLATFORMS": "cpu",
+                "XLA_FLAGS": "--xla_force_host_platform_device_count=2",
+                "JAX_COMPILATION_CACHE_DIR":
+                    os.path.join(REPO, ".jax_cache"),
+                "PYTHONPATH": REPO + os.pathsep +
+                    env.get("PYTHONPATH", ""),
+            })
+            procs.append(subprocess.Popen(
+                [sys.executable, os.path.join(REPO, "main.py"),
+                 "--dataset", "geometric_shapes", "--model",
+                 "count_pipnet",
+                 "--image_size", "32", "--net", "convnext_tiny_26",
+                 "--use_mid_layers", "--num_stages", "1",
+                 "--num_features", "8", "--max_count", "3",
+                 "--use_ste", "True", "--intermediate_layer", "onehot",
+                 "--batch_size", "4", "--batch_size_pretrain", "4",
+                 "--epochs", "2", "--epochs_pretrain", "1",
+                 "--epochs_finetune", "0", "--freeze_epochs", "0",
+                 "--lr", "0.01", "--lr_block", "0.001",
+                 "--lr_net", "0.001",
+                 "--num_workers", "0", "--seed", "1",
+                 "--dtype", "float32",
+                 "--tanh_loss_coeff", "0.1", "--disable_pretrained",
+                 "--log_dir", str(log_dir)],
+                env=env, cwd=tmp_path,
+                stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                text=True))
+        outs = []
+        for p in procs:
+            try:
+                out, _ = p.communicate(timeout=540)
+            except subprocess.TimeoutExpired:
+                for q in procs:
+                    q.kill()
+                pytest.fail("full-trainer worker timed out")
+            outs.append(out)
+        return procs, outs
+
+    # Even with the warm cache, the Gloo handshake windows can be blown
+    # when the WHOLE suite (plus anything else on this 1-core box)
+    # contends for the core — observed as a sporadic nonzero worker exit
+    # that never reproduces alone. One retry with a fresh coordinator
+    # port keeps the test meaningful without making it load-sensitive.
+    procs, outs = launch_cluster()
+    if any(p.returncode != 0 for p in procs):
+        shutil.rmtree(log_dir, ignore_errors=True)
+        procs, outs = launch_cluster()
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"process {pid} failed:\n{out[-3000:]}"
 
