@@ -211,7 +211,7 @@ def fused_block_convnext_apply(params: Dict, x, *,
                                num_stages: int = 7,
                                stage_settings=CONVNEXT_TINY_STAGES,
                                dtype=jnp.bfloat16,
-                               int8_min_dim: int = 96,
+                               int8_min_dim: int = None,
                                int8_downsample: bool = False,
                                dw_bf16: bool = False,
                                padded_planes: bool = True,
@@ -222,13 +222,14 @@ def fused_block_convnext_apply(params: Dict, x, *,
     (ops/pallas/fused_block.py: dwconv + LN + MLP + layer-scale +
     residual, planes kept flattened [B, H*W, C] across each stage).
     Stages whose width is >= ``int8_min_dim`` run their pointwise GEMMs
-    in int8 (measured 125-207 TF/s vs the 126 TF/s bf16 ceiling). With
-    the round-2 dynamic per-row quantization the break-even width was
-    C=384; the static calibrated scales (round 3) drop the quant cost to
-    one broadcast multiply, making int8 a small win at every width
-    (+0.8% end-to-end at C>=96, scripts/bench_int8_stage2.py, exact
-    argmax agreement) — so the default now quantizes every stage.
-    In-block int8
+    in int8 (measured 125-207 TF/s vs the 126 TF/s bf16 ceiling). The
+    default (``int8_min_dim=None``) depends on ``act_scales``: with
+    calibrated static scales the quant cost is one broadcast multiply
+    and int8 is a small win at every width (+0.8% end-to-end at C>=96,
+    scripts/bench_int8_stage2.py, exact argmax agreement) -> 96; the
+    round-2 DYNAMIC per-row quantization only breaks even at C=384
+    (the lane-reduce+divide costs ~0.9 ms/block below that,
+    BENCH_NOTES.md) -> 384 when no scales are given. In-block int8
     noise is suppressed by the tiny layer-scale on the branch, so counts
     and top-1 agree exactly with the bf16 path; ``int8_downsample``
     additionally quantizes the wide stride-1 downsample GEMM (~4%
@@ -236,6 +237,9 @@ def fused_block_convnext_apply(params: Dict, x, *,
     agreement is lost — off by default. Takes the ORIGINAL
     ConvNeXtFeatures param tree; mirrors ConvNeXtFeatures.__call__."""
     from ..ops.pallas.fused_block import fused_block_apply
+
+    if int8_min_dim is None:
+        int8_min_dim = 96 if act_scales else 384
 
     stem = params["features_0"]
     h = _conv(x, stem["conv"]["kernel"], stem["conv"]["bias"], 4, dtype)

@@ -441,9 +441,37 @@ def run_pipnet(args):
     start_epoch = 1
     resumed = False
 
-    # -- shared backbone / resume / pretrained discovery (main.py:122-205)
+    # -- resume / shared backbone / pretrained discovery (main.py:122-205).
+    # Resume takes precedence: a chunked/interrupted run with a shared
+    # backbone must continue from its net_trained_last, not restart from
+    # epoch 1 off the shared weights (which would loop the chunk wrapper
+    # forever at zero progress).
     shared_loaded = False
-    if getattr(args, "shared_pretrained_dir", ""):
+    if getattr(args, "resume_training", False):
+        target = {"params": jax.device_get(trainer.params),
+                  "batch_stats": jax.device_get(trainer.batch_stats),
+                  "opt_state": jax.device_get(trainer.opt_state)}
+        res = ckpt.load_trained_checkpoint(target)
+        if res is not None:
+            state, meta = res
+            trainer.params = replicate(trainer.mesh, state["params"])
+            trainer.batch_stats = state.get("batch_stats", {})
+            if state.get("opt_state"):
+                trainer.opt_state = replicate(trainer.mesh,
+                                              state["opt_state"])
+            args.epochs_pretrain = 0
+            if meta.get("epoch") not in (None, "last"):
+                start_epoch = int(meta["epoch"]) + 1
+            if meta.get("tau") is not None:
+                # continue at the annealed Gumbel temperature (the
+                # reference loses tau on resume — see
+                # CheckpointManager.save_trained_checkpoint)
+                trainer.update_temperature(meta["tau"])
+            resumed = True
+            print(f"Resuming training from epoch {start_epoch}",
+                  flush=True)
+
+    if not resumed and getattr(args, "shared_pretrained_dir", ""):
         cand = find_shared_backbone(args.shared_pretrained_dir)
         if cand:
             new_params, inf = load_backbone_only(
@@ -456,24 +484,6 @@ def run_pipnet(args):
                       flush=True)
 
     if not shared_loaded:
-        if getattr(args, "resume_training", False):
-            target = {"params": jax.device_get(trainer.params),
-                      "batch_stats": jax.device_get(trainer.batch_stats),
-                      "opt_state": jax.device_get(trainer.opt_state)}
-            res = ckpt.load_trained_checkpoint(target)
-            if res is not None:
-                state, meta = res
-                trainer.params = replicate(trainer.mesh, state["params"])
-                trainer.batch_stats = state.get("batch_stats", {})
-                if state.get("opt_state"):
-                    trainer.opt_state = replicate(trainer.mesh,
-                                                  state["opt_state"])
-                args.epochs_pretrain = 0
-                if meta.get("epoch") not in (None, "last"):
-                    start_epoch = int(meta["epoch"]) + 1
-                resumed = True
-                print(f"Resuming training from epoch {start_epoch}",
-                      flush=True)
         if not resumed:
             target = {"params": jax.device_get(trainer.params),
                       "batch_stats": jax.device_get(trainer.batch_stats),
@@ -490,7 +500,10 @@ def run_pipnet(args):
     wshape = trainer.probe_wshape(trainloader)
 
     if is_main:
-        log.create_log("log_epoch_overview", "epoch", *LOG_COLUMNS)
+        # keep prior rows only when actually resuming; a fresh run
+        # reusing a log_dir truncates, like the reference (util/log.py:48)
+        log.create_log("log_epoch_overview", "epoch", *LOG_COLUMNS,
+                       append=resumed)
 
     # ---------------- PHASE 1: prototype pretraining ----------------------
     pre_iters = len(trainloader_pretraining)
@@ -556,12 +569,16 @@ def run_pipnet(args):
     profile_dir = getattr(args, "profile_dir", "")
     profiled = False
 
-    # --max_epochs_per_process: bound how many MAIN epochs one process
+    # --max_epochs_per_process: bound how many LEAKING epochs one process
     # runs before exiting with a resumable checkpoint. The remote TPU
     # client leaks host memory per dispatch (~2.8 GB/epoch at the
     # flagship shape, BENCH_NOTES.md) — long runs get OOM-killed around
     # 45 epochs; scripts/train_chunked.py re-invokes with
-    # --resume_training until done. 0 disables.
+    # --resume_training until done. 0 disables. Pretrain epochs leak
+    # just like main epochs, so they count against the first chunk's
+    # budget (pretraining itself is not resumable — net_pretrained only
+    # exists once the phase completes — so the first chunk always runs
+    # all of it plus at least one main epoch to guarantee progress).
     chunk_budget = int(getattr(args, "max_epochs_per_process", 0) or 0)
     chunk_stopped = False
     chunk_marker = os.path.join(args.log_dir, "checkpoints",
@@ -569,7 +586,7 @@ def run_pipnet(args):
 
     lrs_net, lrs_class = [], []
     eval_rng = jax.random.PRNGKey(args.seed + 7)
-    epochs_this_process = 0
+    epochs_this_process = args.epochs_pretrain  # 0 unless run just above
     for epoch in range(start_epoch, args.epochs + 1):
         masks, finetune = trainer.main_masks(epoch, epochs_to_finetune,
                                              freeze_epochs)
@@ -620,12 +637,14 @@ def run_pipnet(args):
             host_stats = jax.device_get(trainer.batch_stats)
             host_opt = jax.device_get(trainer.opt_state)
             ckpt.save_trained_checkpoint(host_params, host_stats, host_opt,
-                                         epoch)
+                                         epoch, tau=trainer.tau)
             ckpt.save_best_checkpoint(host_params, host_stats, host_opt,
                                       epoch, eval_info["top1_accuracy"])
             _plot_lrs(lrs_net, os.path.join(args.log_dir, "lr_net.png"))
             _plot_lrs(lrs_class, os.path.join(args.log_dir, "lr_class.png"))
 
+        # checking AFTER the first main epoch of the chunk guarantees
+        # progress even when epochs_pretrain alone exceeds the budget
         epochs_this_process += 1
         if (chunk_budget and epochs_this_process >= chunk_budget
                 and epoch < args.epochs):
@@ -648,10 +667,15 @@ def run_pipnet(args):
         os.remove(chunk_marker)
 
     if args.epochs > 1 and is_main:
+        # the reference saves this role under the name "last"
+        # (checkpoint_manager.py:149-191); keep the FINAL EPOCH NUMBER in
+        # the metadata so --resume_training on a finished run continues
+        # past it (epoch extension) instead of restarting from epoch 1
         ckpt.save_trained_checkpoint(
             jax.device_get(trainer.params),
             jax.device_get(trainer.batch_stats),
-            jax.device_get(trainer.opt_state), "last")
+            jax.device_get(trainer.opt_state), args.epochs,
+            tau=trainer.tau)
 
     # -- best-model reload + prototype visualization (main.py:446-458)
     print("\nLoading best model for prototype visualization...", flush=True)

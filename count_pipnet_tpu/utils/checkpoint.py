@@ -167,10 +167,15 @@ class CheckpointManager:
         # its own first (worse) epoch. The reference tracks best only
         # in-process and has the same clobbering on resume
         # (checkpoint_manager.py:251-308); here resume is first-class.
+        # Only when actually resuming — a FRESH run reusing a log_dir
+        # must be able to save its own best (and reload it at the end),
+        # like the reference, rather than being pinned under a stale
+        # sidecar from a previous run.
         self.best_accuracy = -1.0
-        meta = _load_meta(os.path.join(self.log_ckpt_dir, "net_best"))
-        if meta and "accuracy" in meta:
-            self.best_accuracy = float(meta["accuracy"])
+        if getattr(args, "resume_training", False):
+            meta = _load_meta(os.path.join(self.log_ckpt_dir, "net_best"))
+            if meta and "accuracy" in meta:
+                self.best_accuracy = float(meta["accuracy"])
 
     # -- save ---------------------------------------------------------------
     def _state(self, params, batch_stats=None, opt_state=None):
@@ -192,15 +197,25 @@ class CheckpointManager:
             os.path.join(self.log_ckpt_dir, f"net_pretrained_{self.hash}"),
             state, meta)
 
-    def save_trained_checkpoint(self, params, batch_stats, opt_state, epoch):
+    def save_trained_checkpoint(self, params, batch_stats, opt_state, epoch,
+                                tau=None):
         """Rolling net_trained + net_trained_last
         (checkpoint_manager.py:149-191). Serialized once; the second
         role is a file copy (the msgpack of a flagship-size tree is
         ~320 MB — serializing it twice per epoch measurably slows
-        checkpoint-heavy runs on a 1-core host)."""
+        checkpoint-heavy runs on a 1-core host).
+
+        ``tau``: current Gumbel temperature, stored in the metadata so a
+        resumed run continues at the annealed value. The reference loses
+        tau on resume (it is a plain module attribute, not in
+        state_dict — count_pipnet_utils.py:13-21) so a resumed torch run
+        silently restarts at tau=1.0; with chunked training first-class
+        here, resume must not change the trajectory."""
         state = self._state(params, batch_stats, opt_state)
         meta = {"epoch": epoch if isinstance(epoch, int) else str(epoch),
                 "config_hash": self.hash}
+        if tau is not None:
+            meta["tau"] = float(tau)
         first = os.path.join(self.log_ckpt_dir, "net_trained")
         _save_file(first, state, meta)
         second = os.path.join(self.log_ckpt_dir, "net_trained_last")

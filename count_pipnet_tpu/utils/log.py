@@ -33,19 +33,23 @@ class Log:
     def checkpoint_dir(self):
         return os.path.join(self._log_dir, "checkpoints")
 
-    def create_log(self, log_name: str, key_name: str, *value_names):
+    def create_log(self, log_name: str, key_name: str, *value_names,
+                   append: bool = False):
         """Create a CSV with header ``key_name,value_names...``.
 
-        If the file already exists with the IDENTICAL header (a resumed
-        or chunked run re-registering its log), the existing rows are
-        kept and new values append — unlike the reference, whose
-        create_log truncates on resume (util/log.py:48-61)."""
+        ``append=True`` (a resumed or chunked run re-registering its
+        log): if the file already exists with the IDENTICAL header, the
+        existing rows are kept and new values append — unlike the
+        reference, whose create_log truncates on resume
+        (util/log.py:48-61). Non-resumed runs always truncate, so a
+        fresh run reusing a log_dir does not interleave with a previous
+        run's rows."""
         if log_name in self._logs:
             raise KeyError(f"Log '{log_name}' already exists")
         self._logs[log_name] = (key_name, value_names)
         header = ",".join((key_name,) + value_names)
         path = os.path.join(self._log_dir, f"{log_name}.csv")
-        if os.path.exists(path):
+        if append and os.path.exists(path):
             with open(path) as f:
                 if f.readline().rstrip("\n") == header:
                     return  # keep history, append from here

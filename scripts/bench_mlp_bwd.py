@@ -12,7 +12,10 @@ import numpy as np
 import os
 import sys
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), ".jax_cache"))
 
 from count_pipnet_tpu.ops.pallas.fused_mlp import _mlp_body  # noqa: E402
 from count_pipnet_tpu.ops.pallas.fused_mlp_bwd import (  # noqa: E402

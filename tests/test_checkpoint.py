@@ -142,6 +142,32 @@ class TestLog:
         assert content[0] == "epoch,a,b"
         assert content[1] == "1,0.5,0.7"
 
+    def test_append_gating_on_resume(self, tmp_path):
+        """append=True (resumed run) keeps prior rows; the default
+        (fresh run reusing a log_dir) truncates like the reference."""
+        log1 = Log(str(tmp_path / "run"))
+        log1.create_log("metrics", "epoch", "a")
+        log1.log_values("metrics", 1, 0.5)
+
+        resumed = Log(str(tmp_path / "run"))
+        resumed.create_log("metrics", "epoch", "a", append=True)
+        resumed.log_values("metrics", 2, 0.6)
+        content = (tmp_path / "run/metrics.csv").read_text().splitlines()
+        assert content == ["epoch,a", "1,0.5", "2,0.6"]
+
+        fresh = Log(str(tmp_path / "run"))
+        fresh.create_log("metrics", "epoch", "a")
+        fresh.log_values("metrics", 1, 0.9)
+        content = (tmp_path / "run/metrics.csv").read_text().splitlines()
+        assert content == ["epoch,a", "1,0.9"]
+
+        # header mismatch: append must not keep incompatible history
+        stale = Log(str(tmp_path / "run"))
+        (tmp_path / "run/other.csv").write_text("epoch,z\n1,2\n")
+        stale.create_log("other", "epoch", "a", append=True)
+        content = (tmp_path / "run/other.csv").read_text().splitlines()
+        assert content == ["epoch,a"]
+
 
 class TestPartialPretrainedRestore:
     def test_cross_intermediate_graft(self, tmp_path):
@@ -256,7 +282,7 @@ class TestDonorDirShadowing:
 
 class TestBestAcrossProcesses:
     def test_resumed_manager_does_not_clobber_best(self, tmp_path):
-        """A fresh manager over an existing run dir must seed its best
+        """A RESUMED manager over an existing run dir must seed its best
         accuracy from the net_best sidecar: a resumed process's first
         (worse) epoch must NOT overwrite the true best (regression: the
         flagship resume overwrote a 14.3% net_best with 1.45%)."""
@@ -265,6 +291,7 @@ class TestBestAcrossProcesses:
         p = fake_params()
         assert m1.save_best_checkpoint(p, {}, {}, epoch=7, accuracy=0.143)
 
+        args.resume_training = True
         m2 = CheckpointManager(args)  # the resumed process
         assert m2.best_accuracy == pytest.approx(0.143)
         assert not m2.save_best_checkpoint(p, {}, {}, epoch=38,
@@ -275,3 +302,35 @@ class TestBestAcrossProcesses:
         # a genuine improvement still saves
         assert m2.save_best_checkpoint(p, {}, {}, epoch=40, accuracy=0.2)
         assert m2.load_best_checkpoint()[1]["epoch"] == 40
+
+    def test_fresh_run_over_stale_dir_saves_its_own_best(self, tmp_path):
+        """WITHOUT --resume_training, an existing net_best from a
+        previous run in the same log_dir must not pin best_accuracy —
+        the new run's (lower) best must be saveable and reloadable, like
+        the reference's truncate-on-rerun behavior."""
+        args = Args(str(tmp_path))
+        m1 = CheckpointManager(args)
+        p = fake_params()
+        assert m1.save_best_checkpoint(p, {}, {}, epoch=9, accuracy=0.9)
+
+        m2 = CheckpointManager(args)  # fresh run, same log_dir
+        assert m2.best_accuracy == -1.0
+        assert m2.save_best_checkpoint(fake_params(0.5), {}, {}, epoch=1,
+                                       accuracy=0.15)
+        assert m2.load_best_checkpoint()[1]["epoch"] == 1
+
+    def test_tau_roundtrip_through_trained_checkpoint(self, tmp_path):
+        """The annealed Gumbel temperature is persisted in the rolling
+        checkpoint's metadata so a resumed/chunked run continues the
+        trajectory (the torch reference loses tau on resume — it is a
+        plain attribute, not in state_dict; count_pipnet_utils.py:13-21)."""
+        args = Args(str(tmp_path))
+        cm = CheckpointManager(args)
+        p = fake_params()
+        cm.save_trained_checkpoint(p, {}, {}, epoch=12, tau=0.1)
+        _, meta = cm.load_trained_checkpoint()
+        assert meta["epoch"] == 12
+        assert meta["tau"] == pytest.approx(0.1)
+        # both rolling roles carry it
+        _, meta_last = cm.load_trained_checkpoint(name="net_trained")
+        assert meta_last["tau"] == pytest.approx(0.1)

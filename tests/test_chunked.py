@@ -35,7 +35,7 @@ def shapes_root(tmp_path_factory):
 
 def test_chunked_run_completes_in_two_processes(shapes_root):
     env = dict(os.environ, JAX_PLATFORMS="cpu",
-               JAX_COMPILATION_CACHE_DIR="/root/repo/.jax_cache",
+               JAX_COMPILATION_CACHE_DIR=os.path.join(REPO, ".jax_cache"),
                PYTHONPATH=REPO,
                # don't inherit conftest's 8 virtual devices
                XLA_FLAGS="--xla_force_host_platform_device_count=1")
