@@ -183,6 +183,30 @@ DATASET_RECIPES = {
 }
 
 
+def validate_dataset_paths(args, basepath="./"):
+    """Raise early (with the generator hint) if the named dataset's
+    directories are missing.
+
+    Pure-path check with no device access: the trainer calls this BEFORE
+    its first ``jax`` device touch, so a misconfigured run fails cleanly
+    instead of crashing while holding the single TPU claim (a client
+    killed mid-claim wedges the remote session for the next run).
+    """
+    if args.dataset not in DATASET_RECIPES:
+        raise ValueError(
+            f'Could not load data set, data set "{args.dataset}" not found!')
+    _, dirs = DATASET_RECIPES[args.dataset]
+    base = Path(basepath)
+    missing = sorted({str(base / d) for d in dirs
+                      if isinstance(d, str) and not (base / d).is_dir()})
+    if missing:
+        raise FileNotFoundError(
+            "Dataset directories missing for "
+            f'"{args.dataset}": {missing}. Generate them first, e.g. '
+            "python -m count_pipnet_tpu.data.generate_shapes / "
+            "generate_digits / preprocess_cub (see README.md Quick start).")
+
+
 def get_data(args, basepath="./"):
     """Build the dataset objects for a named dataset.
 

@@ -418,7 +418,12 @@ def _plot_lrs(values, path):
 
 def run_pipnet(args):
     """Full training run — reference main.py:42-496."""
-    from ..data.registry import get_dataloaders
+    from ..data.registry import get_dataloaders, validate_dataset_paths
+
+    # Fail fast on missing dataset directories BEFORE the first jax
+    # device touch (jax.process_index below claims the single TPU; a
+    # client that dies holding the claim wedges the chip for minutes).
+    validate_dataset_paths(args)
 
     # Multi-host runs execute the full trainer on every process (SPMD),
     # but only process 0 may touch shared files: checkpoints, CSV logs,

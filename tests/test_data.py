@@ -225,3 +225,32 @@ class TestDecodedCache:
         np.testing.assert_array_equal(
             np.asarray(plain.load_image(0)), arr)
         assert plain._cache is None
+
+
+class TestValidateDatasetPaths:
+    """validate_dataset_paths: pure-path fail-fast that the trainer runs
+    BEFORE its first jax device touch (a client crashing while holding
+    the single TPU claim wedges the chip for the next run)."""
+
+    def _args(self, dataset):
+        import argparse
+        return argparse.Namespace(dataset=dataset)
+
+    def test_unknown_dataset(self, tmp_path):
+        from count_pipnet_tpu.data.registry import validate_dataset_paths
+        with pytest.raises(ValueError, match="not found"):
+            validate_dataset_paths(self._args("nope"), str(tmp_path))
+
+    def test_missing_dirs_listed(self, tmp_path):
+        from count_pipnet_tpu.data.registry import validate_dataset_paths
+        with pytest.raises(FileNotFoundError, match="geometric_shapes"):
+            validate_dataset_paths(
+                self._args("geometric_shapes"), str(tmp_path))
+
+    def test_present_dirs_pass(self, tmp_path):
+        from count_pipnet_tpu.data.registry import validate_dataset_paths
+        for d in ("data/geometric_shapes/dataset/train",
+                  "data/geometric_shapes/dataset/test"):
+            (tmp_path / d).mkdir(parents=True)
+        validate_dataset_paths(self._args("geometric_shapes"),
+                               str(tmp_path))
