@@ -11,6 +11,13 @@ import os
 import sys
 import traceback
 
+# Persistent XLA compilation cache: chunked/resumed runs (fresh process
+# per chunk, scripts/train_chunked.py) and repeated sweep configs reuse
+# compiled train/eval steps instead of paying cold compiles each time.
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
+
 # The count_pipnet_tpu package honors JAX_PLATFORMS=cpu on import (a
 # sitecustomize may override jax_platforms via jax.config, ignoring the
 # env var alone) — so a CPU-intended CLI run never contends for the
