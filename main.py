@@ -11,13 +11,6 @@ import os
 import sys
 import traceback
 
-# Persistent XLA compilation cache: chunked/resumed runs (fresh process
-# per chunk, scripts/train_chunked.py) and repeated sweep configs reuse
-# compiled train/eval steps instead of paying cold compiles each time.
-os.environ.setdefault(
-    "JAX_COMPILATION_CACHE_DIR",
-    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
-
 # The count_pipnet_tpu package honors JAX_PLATFORMS=cpu on import (a
 # sitecustomize may override jax_platforms via jax.config, ignoring the
 # env var alone) — so a CPU-intended CLI run never contends for the
@@ -25,6 +18,28 @@ os.environ.setdefault(
 from count_pipnet_tpu.config import get_args
 from count_pipnet_tpu.train.trainer import run_pipnet
 from count_pipnet_tpu.utils.log import tee_std_streams
+
+# Persistent XLA compilation cache: chunked/resumed runs (fresh process
+# per chunk, scripts/train_chunked.py) and repeated sweep configs reuse
+# compiled train/eval steps instead of paying cold compiles each time.
+# Set via jax.config, not os.environ: a sitecustomize imports jax at
+# interpreter startup and jax captures JAX_COMPILATION_CACHE_DIR at
+# import time, so setting the env var here would be a silent no-op
+# (same workaround as conftest.py's jax_platforms override).
+import jax  # noqa: E402  (already imported transitively above)
+
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     ".jax_cache")))
+# Default threshold (~1s min compile time) skips the short compiles of
+# CPU dryrun/chunked smoke runs; lower both so they are cached too.
+jax.config.update("jax_persistent_cache_min_compile_time_secs", float(
+    os.environ.get("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")))
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", int(
+    os.environ.get("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")))
 
 
 def main():
