@@ -25,7 +25,7 @@ from ..ops.pallas.fused_head import (
 from .intermediates import make_intermediate
 from .pipnet import CountPIPNet
 
-__all__ = ["make_serving_fn"]
+__all__ = ["make_serving_fn", "shard_serving_fn"]
 
 
 def make_serving_fn(model: CountPIPNet, *, use_pallas: bool = True,
@@ -105,3 +105,42 @@ def make_serving_fn(model: CountPIPNet, *, use_pallas: bool = True,
         return clamped, out
 
     return fn
+
+
+def shard_serving_fn(fn, mesh, params):
+    """Bind a ``(params, x) -> pytree`` serving forward to a device mesh.
+
+    Multi-chip data-parallel serving: parameters are replicated across
+    ``mesh`` once (weights live on every chip; no per-call transfer) and
+    the returned ``infer(x)`` is jitted with batch-sharded input/output
+    over the mesh's first axis — XLA runs each chip on its batch shard
+    with zero collectives in the forward. Plug the result directly into
+    ``serving.engine.ServingEngine(infer, ..., mesh=mesh)``: the engine
+    places each ladder batch with the same sharding before dispatch.
+
+    The reference has no serving layer and its only parallelism is
+    single-process ``nn.DataParallel`` (reference main.py:118); this is
+    the mesh-native equivalent for inference.
+
+    Args:
+      fn: serving forward ``(params, x[B,H,W,C]) -> pytree`` with leading
+        batch dim on every output leaf (e.g. from :func:`make_serving_fn`).
+      mesh: a ``jax.sharding.Mesh``; the FIRST axis shards the batch.
+      params: parameter pytree (host or single-device); replicated here.
+
+    Returns:
+      (infer, sharded_params): ``infer(x)`` jitted data-parallel forward
+      closing over the replicated params, and the replicated param tree.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    axis = mesh.axis_names[0]
+    repl = NamedSharding(mesh, P())
+    batched = NamedSharding(mesh, P(axis))
+    sharded_params = jax.device_put(params, repl)
+    jfn = jax.jit(fn, in_shardings=(repl, batched), out_shardings=batched)
+
+    def infer(x):
+        return jfn(sharded_params, x)
+
+    return infer, sharded_params

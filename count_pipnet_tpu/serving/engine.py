@@ -61,13 +61,21 @@ class ServingEngine:
         partial batch is dispatched.
       max_inflight: device batches allowed in flight before the
         collector blocks (2 = classic double buffering).
+      mesh: optional ``jax.sharding.Mesh`` — multi-chip data-parallel
+        serving. Dispatched batches are placed batch-sharded over the
+        mesh's first axis before ``infer_fn`` runs, so a jitted forward
+        (params replicated by the caller — see
+        models/serving.shard_serving_fn) fans each ladder batch across
+        all chips and XLA keeps the computation fully sharded; every
+        ladder size must divide evenly by the mesh device count.
     """
 
     def __init__(self, infer_fn: Callable,
                  input_shape: Tuple[int, int, int],
                  batch_sizes: Sequence[int] = (1, 8, 32, 128, 256),
                  max_wait_ms: float = 2.0,
-                 max_inflight: int = 2):
+                 max_inflight: int = 2,
+                 mesh=None):
         if not batch_sizes or list(batch_sizes) != sorted(batch_sizes):
             raise ValueError("batch_sizes must be ascending and non-empty")
         self.infer_fn = infer_fn
@@ -75,6 +83,19 @@ class ServingEngine:
         self.batch_sizes = tuple(int(b) for b in batch_sizes)
         self.max_wait_ms = float(max_wait_ms)
         self.max_inflight = int(max_inflight)
+        self.mesh = mesh
+        self._batch_sharding = None
+        if mesh is not None:
+            n = mesh.devices.size
+            bad = [b for b in self.batch_sizes if b % n]
+            if bad:
+                raise ValueError(
+                    f"batch_sizes {bad} not divisible by the {n}-device "
+                    f"mesh — every compiled ladder size must shard evenly")
+            from jax.sharding import NamedSharding, PartitionSpec
+            axis = mesh.axis_names[0]
+            self._batch_sharding = NamedSharding(
+                mesh, PartitionSpec(axis, *([None] * len(self.input_shape))))
 
         self._queue: "queue.Queue[Optional[_Pending]]" = queue.Queue()
         self._inflight: "queue.Queue" = queue.Queue()
@@ -202,6 +223,12 @@ class ServingEngine:
         while self._inflight.qsize() >= self.max_inflight:
             time.sleep(1e-4)
         try:
+            if self._batch_sharding is not None:
+                # place batch-sharded across the mesh so the jitted
+                # forward runs data-parallel (host->device transfer per
+                # shard; XLA inserts no resharding)
+                import jax
+                batch = jax.device_put(batch, self._batch_sharding)
             result = self.infer_fn(batch)    # async dispatch under jit
         except Exception as e:               # compile/runtime failure
             for p in group:
