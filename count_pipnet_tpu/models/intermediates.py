@@ -136,10 +136,26 @@ def _bilinear_embed_init(num_prototypes, max_count):
     return jnp.asarray(w)
 
 
+def _torch_linear_init(key, shape, dtype=jnp.float32):
+    """torch nn.Linear default weight init in flax [in, out] layout:
+    kaiming_uniform(a=sqrt(5)) == U(-1/sqrt(fan_in), 1/sqrt(fan_in)).
+
+    flax's default (lecun_normal, var 1/fan_in) has 3x the variance of
+    torch's (var 1/(3*fan_in)); on the bilinear product W(e)*V(e) that
+    compounds to ~9x the output variance at init — measured as the
+    likely source of the bilinear variant's cross-seed instability
+    (ACCURACY.md round 4). Parity target: torch Linear.reset_parameters
+    via reference count_pipnet_utils.py:346-348 (custom_init=False)."""
+    fan_in = shape[0]
+    bound = 1.0 / np.sqrt(fan_in)
+    import jax
+    return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+
 class BilinearIntermediate(nn.Module):
     """embed -> W(e) * V(e) elementwise product.
     Reference: count_pipnet_utils.py:323-385 (custom_init=False default:
-    W and V use standard dense init).
+    W and V use torch nn.Linear default init — see _torch_linear_init).
 
     Attribution note: the reference's BilinearIntermediate lacks
     ``prototype_to_classifier_input_weights`` entirely, so the reference
@@ -162,8 +178,10 @@ class BilinearIntermediate(nn.Module):
                                              self.max_count),
         )  # [D, P]
         e = x @ embed_w.T
-        w = nn.Dense(d, use_bias=False, name="W")(e)
-        v = nn.Dense(d, use_bias=False, name="V")(e)
+        w = nn.Dense(d, use_bias=False, name="W",
+                     kernel_init=_torch_linear_init)(e)
+        v = nn.Dense(d, use_bias=False, name="V",
+                     kernel_init=_torch_linear_init)(e)
         return w * v
 
     @property

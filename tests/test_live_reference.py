@@ -302,3 +302,71 @@ class TestCalculateLossLive:
         ref = ref_train.uniform_loss(torch.tensor(x)).item()
         ours = float(jlosses.uniform_loss(jnp.asarray(x)))
         np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# BilinearIntermediate: init-distribution + forward parity (VERDICT r3 #5)
+# ---------------------------------------------------------------------------
+class TestBilinearLive:
+    P, M = 16, 3
+
+    def _ours(self, seed=0):
+        from count_pipnet_tpu.models.intermediates import (
+            BilinearIntermediate,
+        )
+        mod = BilinearIntermediate(num_prototypes=self.P, max_count=self.M)
+        x0 = jnp.zeros((1, self.P), jnp.float32)
+        params = mod.init({"params": jax.random.PRNGKey(seed)}, x0)["params"]
+        return mod, params
+
+    def test_embed_init_exact(self):
+        """The count-scaled block embedding must match the reference's
+        tensor exactly (reference count_pipnet_utils.py:349-358)."""
+        ref = ref_utils.BilinearIntermediate(self.P, self.M)
+        _, params = self._ours()
+        np.testing.assert_array_equal(
+            np.asarray(params["embed"]),
+            ref.embed.weight.detach().numpy())
+
+    def test_wv_init_distribution_matches_torch_linear(self):
+        """W/V must follow torch nn.Linear's default kaiming-uniform
+        (U(-1/sqrt(D), 1/sqrt(D)), var 1/(3D)) — flax's lecun_normal
+        default has 3x that variance, which squares to ~9x on the
+        W(e)*V(e) product and was the round-3 instability suspect.
+        Asserted on moments + support over many seeds (distributional —
+        RNGs differ; the reference draw itself is random too)."""
+        D = self.P * self.M
+        bound = 1.0 / np.sqrt(D)
+        ws = []
+        for seed in range(8):
+            _, params = self._ours(seed)
+            for name in ("W", "V"):
+                k = np.asarray(params[name]["kernel"])
+                assert k.shape == (D, D)
+                assert np.abs(k).max() <= bound + 1e-7
+                ws.append(k.ravel())
+        ours = np.concatenate(ws)
+        ref_draws = np.concatenate([
+            ref_utils.BilinearIntermediate(self.P, self.M)
+            .W.weight.detach().numpy().ravel() for _ in range(8)])
+        # uniform on [-b, b]: var b^2/3; allow 5% sampling slack
+        np.testing.assert_allclose(ours.var(), bound ** 2 / 3, rtol=0.05)
+        np.testing.assert_allclose(ours.var(), ref_draws.var(), rtol=0.05)
+        np.testing.assert_allclose(ours.mean(), 0.0, atol=bound * 0.02)
+
+    def test_forward_parity_with_copied_weights(self):
+        """With the reference's drawn W/V copied in, forward must agree."""
+        torch.manual_seed(3)
+        ref = ref_utils.BilinearIntermediate(self.P, self.M)
+        mod, params = self._ours()
+        params = dict(params)
+        params["W"] = {"kernel": jnp.asarray(
+            ref.W.weight.detach().numpy().T)}   # torch [out,in] -> [in,out]
+        params["V"] = {"kernel": jnp.asarray(
+            ref.V.weight.detach().numpy().T)}
+        x = np.random.default_rng(5).integers(
+            0, self.M + 1, size=(9, self.P)).astype(np.float32)
+        ours = mod.apply({"params": params}, jnp.asarray(x))
+        theirs = ref(torch.tensor(x)).detach().numpy()
+        np.testing.assert_allclose(np.asarray(ours), theirs,
+                                   rtol=1e-5, atol=1e-5)
