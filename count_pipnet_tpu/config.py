@@ -92,6 +92,13 @@ def build_parser() -> argparse.ArgumentParser:
     add("--backward_clamp_strategy", type=str, default="Identity",
         choices=["Identity", "Gated"])
     # TPU-native additions
+    add("--unfreeze_warmup_epochs", type=int, default=0,
+        help="ramp the lower-backbone LR linearly from 0 over this many "
+             "epochs after the freeze_epochs unfreeze boundary (0 = the "
+             "reference's instant unfreeze). Stabilization lever for "
+             "random-init flagship runs: the full unfreeze collapses "
+             "training when the early stages are not ImageNet-pretrained "
+             "(analysis/flagship_200_canon/)")
     add("--device_augment", action="store_true",
         help="run the photometric two-view augmentation (color jitter + "
              "crop + noise + normalize) on device instead of host CPU; "

@@ -212,10 +212,15 @@ class Trainer:
     # -- epoch loops --------------------------------------------------------
     def train_epoch(self, loader, epoch: int, nr_epochs: int, *,
                     pretrain: bool, finetune: bool, masks: Dict[str, float],
-                    net_sched: Dict, cls_sched: Optional[Dict]) -> Dict:
+                    net_sched: Dict, cls_sched: Optional[Dict],
+                    bb_warmup: Optional[tuple] = None) -> Dict:
         """One epoch over ``loader``. net_sched: {"kind": "cosine",
         "T": total_steps, "eta_min": float, "step": mutable count};
-        cls_sched: {"T0": int, "eta_min": float} or None."""
+        cls_sched: {"T0": int, "eta_min": float} or None; bb_warmup:
+        (freeze_epochs, warmup_epochs) — linear per-step LR ramp on the
+        "backbone" label over the first warmup_epochs after the
+        unfreeze boundary (--unfreeze_warmup_epochs; LR is a runtime
+        scalar so the ramp never recompiles)."""
         args = self.args
         if pretrain:
             align_w, t_w, cl_w = (epoch / nr_epochs) * 1.0, 5.0, 0.0
@@ -286,6 +291,11 @@ class Trainer:
                 "add_on": cosine_lr(args.lr_block * 10.0, lr_net_fac,
                                     net_sched["T"], net_sched["eta_min"]),
             }
+            if bb_warmup is not None and not pretrain:
+                fz, nwu = bb_warmup
+                if nwu > 0 and epoch > fz:
+                    prog = (epoch - 1 - fz + i / max(iters, 1)) / nwu
+                    lr["backbone"] *= min(1.0, max(0.0, prog))
             if cls_sched is not None and not pretrain:
                 frac = epoch - 1 + i / max(iters, 1)
                 lr_cls = warm_restart_lr(args.lr, frac, cls_sched["T0"],
@@ -607,7 +617,9 @@ def run_pipnet(args):
         info = trainer.train_epoch(
             trainloader, epoch, args.epochs, pretrain=False,
             finetune=finetune, masks=masks, net_sched=net_sched,
-            cls_sched=cls_sched)
+            cls_sched=cls_sched,
+            bb_warmup=(freeze_epochs,
+                       int(getattr(args, "unfreeze_warmup_epochs", 0))))
         if profile_dir and not profiled:
             from jax import profiler as _jprof
             _jprof.stop_trace()

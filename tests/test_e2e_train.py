@@ -133,3 +133,46 @@ def test_device_augment_training_run(run_env, monkeypatch):
     lines = csv.read_text().strip().splitlines()
     assert len(lines) == 3
     float(lines[-1].split(",")[1])  # numeric eval accuracy
+
+
+@pytest.mark.slow
+def test_unfreeze_warmup_ramps_backbone_lr(run_env, monkeypatch):
+    """--unfreeze_warmup_epochs must ramp the lower-backbone LR linearly
+    from 0 across the post-unfreeze window (per step), leaving the
+    schedule untouched once the ramp completes. Captured via the LR
+    curve the trainer hands to _plot_lrs (the same values lr_net.png
+    plots)."""
+    monkeypatch.chdir(run_env)
+    import count_pipnet_tpu.train.trainer as T
+    from count_pipnet_tpu.train.optim import cosine_lr
+
+    captured = {}
+    orig = T._plot_lrs
+
+    def spy(values, path, **kw):
+        captured[os.path.basename(path)] = list(values)
+        return orig(values, path, **kw)
+
+    monkeypatch.setattr(T, "_plot_lrs", spy)
+
+    args = make_args(run_env, epochs=4, epochs_pretrain=1,
+                     epochs_finetune=0, freeze_epochs=1,
+                     unfreeze_warmup_epochs=2, lr_net=0.01,
+                     log_dir=str(run_env / "runs/e2e_warmup"))
+    T.run_pipnet(args)
+
+    lrs = captured["lr_net.png"]
+    iters = 3  # 24 train imgs / batch 8
+    assert len(lrs) == 4 * iters
+    T_total = 4 * iters
+    base = [cosine_lr(0.01, s, T_total, 0.01 / 100)
+            for s in range(T_total)]
+    # epoch 1 (frozen phase, no warmup): pure cosine
+    assert lrs[0] == pytest.approx(base[0])
+    # epoch 2 begins the ramp at exactly 0, climbing per STEP
+    assert lrs[iters] == 0.0
+    assert lrs[iters + 1] == pytest.approx(base[iters + 1] * (1 / 3) / 2)
+    # epoch 3 mid-ramp: scale (1 + i/3)/2
+    assert lrs[2 * iters] == pytest.approx(base[2 * iters] * 0.5)
+    # epoch 4: ramp complete, back on the unscaled cosine
+    assert lrs[3 * iters] == pytest.approx(base[3 * iters])
