@@ -99,6 +99,12 @@ def build_parser() -> argparse.ArgumentParser:
              "random-init flagship runs: the full unfreeze collapses "
              "training when the early stages are not ImageNet-pretrained "
              "(analysis/flagship_200_canon/)")
+    add("--pipeline_depth", type=int, default=2,
+        help="max in-flight train-step dispatches before the host "
+             "blocks on the oldest step's metrics (0 = fetch every "
+             "step synchronously, the pre-round-4 behavior). Depth 2 "
+             "overlaps host decode/feed with device compute like the "
+             "reference's CUDA-stream + DataLoader-worker pipeline")
     add("--device_augment", action="store_true",
         help="run the photometric two-view augmentation (color jitter + "
              "crop + noise + normalize) on device instead of host CPU; "

@@ -9,6 +9,7 @@ faithfully since it feeds back into training), and the binary-task extras
 (sensitivity/specificity/balanced accuracy/AUC, test.py:159-183).
 """
 
+from collections import deque
 from typing import Dict, Optional
 
 import jax
@@ -70,6 +71,32 @@ def evaluate(model, params, batch_stats, test_loader, epoch, *,
 
     model_state = {"batch_stats": batch_stats} if batch_stats else {}
 
+    # Two-deep dispatch window: fetch batch i's stats only after batch
+    # i+1 is dispatched, so the loader's decode and the device's eval
+    # step overlap (same pattern as the trainer's --pipeline_depth).
+    pending = deque()
+
+    def _drain_one():
+        nonlocal cm, n_images, abstained, top5_sum, pred_local_sum, \
+            any_local_sum, ppc_sum, anz_sum
+        stats, bs, ys_host = pending.popleft()
+        stats = jax.device_get(stats)
+        # Weight every per-batch mean by the batch size so a ragged final
+        # batch (testloader has drop_last=False) does not bias the global
+        # means; the reference counts per-image over the whole set
+        # (test.py:127-142).
+        n_images += bs
+        cm += np.asarray(stats["cm"], dtype=np.int64)
+        abstained += int(stats["abstained"])
+        top5_sum += float(stats["top5_mean"]) * bs
+        pred_local_sum += float(stats["pred_class_sizes_mean"]) * bs
+        any_local_sum += float(stats["any_class_sizes_mean"]) * bs
+        ppc_sum += float(stats["prototypes_per_class_mean"]) * bs
+        anz_sum += float(stats["almost_nz_mean"]) * bs
+        y_trues.extend(ys_host.tolist())
+        y_preds.extend(stats["pred_scores"].tolist())
+        y_pred_classes.extend(stats["ys_pred"].tolist())
+
     for xs, ys in test_loader:
         if enforce_weight_sparsity:
             params = dict(params)
@@ -79,23 +106,12 @@ def evaluate(model, params, batch_stats, test_loader, epoch, *,
         rng, sub = jax.random.split(rng)
         stats = eval_step(params, model_state, jnp.asarray(xs),
                           jnp.asarray(ys), cpw, sub, tau)
-        stats = jax.device_get(stats)
-        # Weight every per-batch mean by the batch size so a ragged final
-        # batch (testloader has drop_last=False) does not bias the global
-        # means; the reference counts per-image over the whole set
-        # (test.py:127-142).
-        bs = int(np.asarray(ys).shape[0])
-        n_images += bs
-        cm += np.asarray(stats["cm"], dtype=np.int64)
-        abstained += int(stats["abstained"])
-        top5_sum += float(stats["top5_mean"]) * bs
-        pred_local_sum += float(stats["pred_class_sizes_mean"]) * bs
-        any_local_sum += float(stats["any_class_sizes_mean"]) * bs
-        ppc_sum += float(stats["prototypes_per_class_mean"]) * bs
-        anz_sum += float(stats["almost_nz_mean"]) * bs
-        y_trues.extend(np.asarray(ys).tolist())
-        y_preds.extend(stats["pred_scores"].tolist())
-        y_pred_classes.extend(stats["ys_pred"].tolist())
+        ys_host = np.asarray(ys)
+        pending.append((stats, int(ys_host.shape[0]), ys_host))
+        if len(pending) > 2:
+            _drain_one()
+    while pending:
+        _drain_one()
 
     print(f"PIP-Net abstained from a decision for {abstained} images",
           flush=True)

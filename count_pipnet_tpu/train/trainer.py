@@ -21,6 +21,7 @@ run uses ONE compiled train step (no recompiles at phase boundaries).
 
 import os
 import time
+from collections import deque
 from typing import Dict, Optional
 
 import jax
@@ -275,6 +276,27 @@ class Trainer:
                    "align_weighted", "tanh_weighted", "class_weighted")}
         lrs_net, lrs_class = [], []
         n = 0
+
+        # Step pipelining: metrics are tiny scalars only needed at epoch
+        # end, but fetching them every step blocks the host on the
+        # device finishing step i before it decodes/feeds step i+1 —
+        # serializing host and device work (the reference's torch loop
+        # overlaps them for free via CUDA streams + DataLoader workers).
+        # Keep up to --pipeline_depth step dispatches in flight and
+        # drain the oldest metrics only when the window is full: the
+        # host runs ahead, the loader thread decodes under the fetch
+        # wait, and device-step i+1 is queued before i completes.
+        depth = max(int(getattr(args, "pipeline_depth", 2)), 0)
+        pending: deque = deque()
+
+        def _drain_one():
+            m = jax.device_get(pending.popleft())
+            totals["loss"] += float(m["loss"])
+            totals["acc"] += float(m["acc"])
+            for k in ("align", "tanh", "class", "align_weighted",
+                      "tanh_weighted", "class_weighted"):
+                totals[k] += float(m[k])
+
         t0 = time.time()
         for i, host_batch in enumerate(loader):
             # host-side per-step LR (exact torch stepping semantics; the
@@ -348,14 +370,13 @@ class Trainer:
             if not pretrain:
                 lrs_class.append(lr_cls)
 
-            metrics = jax.device_get(metrics)
-            totals["loss"] += float(metrics["loss"])
-            totals["acc"] += float(metrics["acc"])
-            for k in ("align", "tanh", "class", "align_weighted",
-                      "tanh_weighted", "class_weighted"):
-                totals[k] += float(metrics[k])
+            pending.append(metrics)
+            if len(pending) > depth:
+                _drain_one()
             n += 1
 
+        while pending:
+            _drain_one()
         dt = time.time() - t0
         n = max(n, 1)
         info = {

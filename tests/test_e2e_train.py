@@ -176,3 +176,23 @@ def test_unfreeze_warmup_ramps_backbone_lr(run_env, monkeypatch):
     assert lrs[2 * iters] == pytest.approx(base[2 * iters] * 0.5)
     # epoch 4: ramp complete, back on the unscaled cosine
     assert lrs[3 * iters] == pytest.approx(base[3 * iters])
+
+
+@pytest.mark.slow
+def test_pipeline_depth_parity(run_env, monkeypatch):
+    """--pipeline_depth only defers WHEN step metrics are fetched, never
+    what is computed: a run with the synchronous depth-0 loop and one
+    with the default depth-2 dispatch window must produce identical
+    epoch CSVs (losses, accuracies, eval metrics) for the same seed."""
+    monkeypatch.chdir(run_env)
+    from count_pipnet_tpu.train.trainer import run_pipnet
+
+    rows = {}
+    for depth in (0, 2):
+        args = make_args(run_env, pipeline_depth=depth,
+                         log_dir=str(run_env / f"runs/e2e_pd{depth}"))
+        run_pipnet(args)
+        csv = run_env / f"runs/e2e_pd{depth}/log_epoch_overview.csv"
+        rows[depth] = csv.read_text().strip().splitlines()
+
+    assert rows[0] == rows[2]
