@@ -78,3 +78,24 @@ def test_chunked_run_completes_in_two_processes(shapes_root):
     for name in ("net_pretrained", "net_trained", "net_trained_last",
                  "net_best"):
         assert os.path.exists(os.path.join(log_dir, "checkpoints", name))
+
+
+def test_watchdog_kills_stalled_child(tmp_path):
+    """_run_watched must kill a child that produces no tee output within
+    stall_timeout (the wedged-TPU-claim signature) and report the stall;
+    a healthy short child exits normally with stalled=False."""
+    sys.path.insert(0, os.path.join(REPO, "scripts"))
+    from train_chunked import _run_watched
+
+    tee = tmp_path / "out.txt"
+    tee.write_text("boot\n")
+
+    rc, stalled = _run_watched(
+        [sys.executable, "-c", "import time; time.sleep(600)"],
+        str(tee), stall_timeout=2.0, poll_s=0.5)
+    assert stalled and rc != 0
+
+    rc, stalled = _run_watched(
+        [sys.executable, "-c", "print('fine')"],
+        str(tee), stall_timeout=30.0, poll_s=0.5)
+    assert (rc, stalled) == (0, False)
