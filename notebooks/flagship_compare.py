@@ -43,6 +43,14 @@ RUNS = [
      ["analysis/flagship_200_nosparse/log_epoch_overview.csv",
       "runs/flagship_200_nosparse/log_epoch_overview.csv"],
      None),
+    ("warmup (staged + LR ramp @31-40)",
+     ["analysis/flagship_200_warmup/log_epoch_overview.csv",
+      "runs/flagship_200_warmup/log_epoch_overview.csv"],
+     (31, "warmup unfreeze")),
+    ("wide (nosparse, 256 prototypes)",
+     ["analysis/flagship_200_wide/log_epoch_overview.csv",
+      "runs/flagship_200_wide/log_epoch_overview.csv"],
+     None),
 ]
 
 
