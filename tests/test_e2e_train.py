@@ -86,13 +86,33 @@ def test_full_training_run(run_env, monkeypatch):
 
 @pytest.mark.slow
 def test_resume_from_checkpoint(run_env, monkeypatch):
+    """Epoch extension: resuming a FINISHED run with a larger --epochs
+    must continue from the stored final epoch (net_trained_last keeps an
+    integer epoch in its metadata precisely for this), append to the
+    existing CSV rather than truncate it, and skip pretraining. This is
+    the semantics the flagship nosparse 25->60 extension run relies on
+    (configs/flagship_200_nosparse_ext.yaml)."""
     monkeypatch.chdir(run_env)
     from count_pipnet_tpu.train.trainer import run_pipnet
 
-    args = make_args(run_env, resume_training=True, epochs=3)
-    trainer = run_pipnet(args)
     csv = run_env / "runs/e2e/log_epoch_overview.csv"
-    assert csv.exists()
+    before = csv.read_text().strip().splitlines()
+
+    args = make_args(run_env, resume_training=True, epochs=3)
+    run_pipnet(args)
+
+    after = csv.read_text().strip().splitlines()
+    # prior rows preserved byte-for-byte (append, not truncate)...
+    assert after[:len(before)] == before
+    # ...plus exactly the one extension epoch, numbered 3 (continuation,
+    # not a restart from 1), with a numeric eval accuracy
+    assert len(after) == len(before) + 1
+    last = after[-1].split(",")
+    assert last[0] == "3"
+    float(last[1])
+    # no pretrain rows were added (epochs_pretrain zeroed on resume)
+    assert sum(1 for ln in after if ln.split(",")[1] == "n.a.") == sum(
+        1 for ln in before if ln.split(",")[1] == "n.a.")
 
 
 @pytest.mark.slow
