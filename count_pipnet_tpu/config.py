@@ -121,6 +121,14 @@ def build_parser() -> argparse.ArgumentParser:
              "PNG/JPEG decode after the first epoch; ~1.5 GB at 10k "
              "224^2 images — for the synthetic datasets, not CUB-scale "
              "native-resolution photos)")
+    add("--decode_cache_dir", type=str, default="",
+        help="with --cache_decoded: persist the decoded images as one "
+             "fingerprinted memory-mapped .npy per image folder in this "
+             "directory. Chunk restarts (scripts/train_chunked.py) and "
+             "repeat runs skip the decode pass entirely, and the "
+             "read-only mmap replaces the per-process RAM copy. "
+             "Uniform image sizes required (synthetic datasets); "
+             "falls back to the RAM cache otherwise")
     add("--fused_whole_blocks", action="store_true",
         help="run ENTIRE ConvNeXt blocks (dwconv included) through the "
              "whole-block Pallas kernel with an XLA-recompute backward; "

@@ -26,7 +26,7 @@ class ImageFolder:
     the sorted subdirectory names (torchvision ImageFolder contract)."""
 
     def __init__(self, root, transform: Optional[Callable] = None,
-                 cache_decoded: bool = False):
+                 cache_decoded: bool = False, decode_cache_dir: str = ""):
         self.root = str(root)
         classes = sorted(
             d.name for d in os.scandir(self.root) if d.is_dir())
@@ -55,11 +55,94 @@ class ImageFolder:
         # native-resolution photos. Dict writes are GIL-atomic, so the
         # threaded loader at worst decodes an item twice.
         self._cache = {} if cache_decoded else None
+        # Disk-persisted variant (--decode_cache_dir): one fingerprinted
+        # memory-mapped .npy per image folder. Pays the decode pass once
+        # per DATASET rather than once per process: chunked flagship runs
+        # (scripts/train_chunked.py) restart a fresh process per chunk,
+        # and get_data builds up to three ImageFolders over the SAME
+        # train directory (registry.py) — all of which currently decode
+        # into separate RAM dicts. The mmap is read-only and page-shared,
+        # so it also replaces ~1.5 GB of per-process RSS at flagship
+        # shape. Requires uniform decoded shapes; falls back to the RAM
+        # dict otherwise (e.g. native-resolution photo sets).
+        self._mm = None
+        if cache_decoded and decode_cache_dir:
+            self._mm = self._load_or_build_disk_cache(decode_cache_dir)
+            if self._mm is not None:
+                self._cache = None
+
+    def _fingerprint(self) -> str:
+        """Content fingerprint of the scanned samples: root-relative
+        paths + file sizes + integer mtimes. Regenerating a dataset (new
+        mtimes/sizes) or adding/removing files invalidates the cache."""
+        import hashlib
+        h = hashlib.sha1()
+        for path, target in self.samples:
+            st = os.stat(path)
+            h.update(os.path.relpath(path, self.root).encode())
+            h.update(f":{target}:{st.st_size}:{int(st.st_mtime)};".encode())
+        return h.hexdigest()[:16]
+
+    def _decode(self, index) -> np.ndarray:
+        path, _ = self.samples[index]
+        with Image.open(path) as img:
+            return np.asarray(img.convert("RGB"), dtype=np.uint8)
+
+    def _load_or_build_disk_cache(self, cache_dir: str):
+        import json
+        os.makedirs(cache_dir, exist_ok=True)
+        tag = self._fingerprint()
+        npy = os.path.join(cache_dir, f"imgcache_{tag}.npy")
+        meta = npy + ".meta.json"
+        if os.path.exists(npy) and os.path.exists(meta):
+            try:
+                with open(meta) as f:
+                    m = json.load(f)
+                arr = np.load(npy, mmap_mode="r")
+                if (m.get("n") == len(self.samples)
+                        and arr.shape[0] == len(self.samples)):
+                    return arr
+            except Exception as e:  # corrupt cache: rebuild below
+                print(f"(decode cache {npy} unreadable: {e}; rebuilding)",
+                      flush=True)
+        from numpy.lib.format import open_memmap
+        tmp = f"{npy}.{os.getpid()}.tmp"
+        first = self._decode(0)
+        try:
+            mm = open_memmap(tmp, mode="w+", dtype=np.uint8,
+                             shape=(len(self.samples),) + first.shape)
+            mm[0] = first
+            for i in range(1, len(self.samples)):
+                a = self._decode(i)
+                if a.shape != first.shape:
+                    raise ValueError(
+                        f"non-uniform image shapes ({a.shape} vs "
+                        f"{first.shape})")
+                mm[i] = a
+            mm.flush()
+            del mm
+            os.replace(tmp, npy)
+            with open(meta, "w") as f:
+                json.dump({"n": len(self.samples),
+                           "shape": list(first.shape)}, f)
+            return np.load(npy, mmap_mode="r")
+        except ValueError as e:
+            print(f"(decode cache disabled for {self.root}: {e}; "
+                  "using the in-RAM cache)", flush=True)
+            return None
+        finally:
+            if os.path.exists(tmp):
+                os.remove(tmp)
 
     def __len__(self):
         return len(self.samples)
 
     def load_image(self, index) -> Image.Image:
+        if self._mm is not None:
+            # np.array copies out of the read-only mmap page; PIL needs
+            # a writable, owned buffer and the copy (~150 KB) is noise
+            # next to a decode
+            return Image.fromarray(np.array(self._mm[index]))
         if self._cache is not None:
             arr = self._cache.get(index)
             if arr is not None:
@@ -68,7 +151,6 @@ class ImageFolder:
         with Image.open(path) as img:
             out = img.convert("RGB")
         if self._cache is not None:
-            import numpy as np
             self._cache[index] = np.asarray(out, dtype=np.uint8)
         return out
 

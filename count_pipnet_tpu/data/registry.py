@@ -262,7 +262,9 @@ def get_data(args, basepath="./"):
         t2 = A.Compose([A.ToUint8Array()])
 
     cache = getattr(args, "cache_decoded", False)
-    trainval = ImageFolder(base / train_d, cache_decoded=cache)
+    cache_dir = getattr(args, "decode_cache_dir", "")
+    trainval = ImageFolder(base / train_d, cache_decoded=cache,
+                           decode_cache_dir=cache_dir)
     classes = trainval.classes
     targets = trainval.targets
     train_indices = list(range(len(trainval)))
@@ -277,7 +279,8 @@ def get_data(args, basepath="./"):
         testset = Subset(TransformedDataset(trainval, no_aug), test_indices)
     else:
         testset = TransformedDataset(
-            ImageFolder(base / test_d, cache_decoded=cache), no_aug)
+            ImageFolder(base / test_d, cache_decoded=cache,
+                        decode_cache_dir=cache_dir), no_aug)
 
     # --device_geometric: the two-view loaders ship the RAW decoded
     # image (the synthetic generators emit a uniform size); Resize +
@@ -299,7 +302,8 @@ def get_data(args, basepath="./"):
     trainset_normal_augment = Subset(TransformedDataset(trainval, both),
                                      train_indices)
     projectset = TransformedDataset(
-        ImageFolder(base / project_d, cache_decoded=cache), no_aug)
+        ImageFolder(base / project_d, cache_decoded=cache,
+                    decode_cache_dir=cache_dir), no_aug)
 
     if test_proj_d is not None:
         testset_projection = TransformedDataset(
@@ -309,7 +313,8 @@ def get_data(args, basepath="./"):
 
     trainset_pretraining = None
     if pretrain_d is not None and t1p is not None:
-        pre_base = ImageFolder(base / pretrain_d, cache_decoded=cache)
+        pre_base = ImageFolder(base / pretrain_d, cache_decoded=cache,
+                               decode_cache_dir=cache_dir)
         pre_indices = list(range(len(pre_base)))
         if test_d is None:
             pre_indices, _ = stratified_split(
