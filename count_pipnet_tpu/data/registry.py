@@ -197,8 +197,18 @@ def validate_dataset_paths(args, basepath="./"):
             f'Could not load data set, data set "{args.dataset}" not found!')
     _, dirs = DATASET_RECIPES[args.dataset]
     base = Path(basepath)
-    missing = sorted({str(base / d) for d in dirs
-                      if isinstance(d, str) and not (base / d).is_dir()})
+
+    def _missing():
+        return sorted({str(base / d) for d in dirs
+                       if isinstance(d, str) and not (base / d).is_dir()})
+
+    missing = _missing()
+    if missing:
+        # Synthetic datasets are deterministic and .gitignored; rebuild
+        # them in place instead of failing a queued run (data/ensure.py).
+        from .ensure import ensure_synthetic_dataset
+        if ensure_synthetic_dataset(args.dataset, basepath):
+            missing = _missing()
     if missing:
         raise FileNotFoundError(
             "Dataset directories missing for "

@@ -3,6 +3,7 @@ determinism, weighted sampling."""
 
 import os
 import random
+from pathlib import Path
 
 import numpy as np
 import pytest
@@ -242,7 +243,42 @@ class TestValidateDatasetPaths:
             validate_dataset_paths(self._args("nope"), str(tmp_path))
 
     def test_missing_dirs_listed(self, tmp_path):
+        # Non-synthetic dataset: cannot be regenerated from a seed, so
+        # missing dirs still raise with the preprocess hint.
         from count_pipnet_tpu.data.registry import validate_dataset_paths
+        with pytest.raises(FileNotFoundError, match="CUB-200-2011"):
+            validate_dataset_paths(
+                self._args("CUB-200-2011"), str(tmp_path))
+
+    def test_synthetic_autoregen(self, tmp_path, monkeypatch):
+        """A missing SYNTHETIC dataset is regenerated in place instead of
+        raising (data/ensure.py): the generator is invoked with the
+        basepath-rebased --output_dir and validation then passes."""
+        from count_pipnet_tpu.data import generate_shapes
+        from count_pipnet_tpu.data.registry import validate_dataset_paths
+        calls = []
+
+        def fake_main(argv):
+            calls.append(list(argv))
+            out = Path(argv[argv.index("--output_dir") + 1])
+            (out / "train").mkdir(parents=True, exist_ok=True)
+            (out / "test").mkdir(parents=True, exist_ok=True)
+
+        monkeypatch.setattr(generate_shapes, "main", fake_main)
+        validate_dataset_paths(self._args("geometric_shapes"),
+                               str(tmp_path))
+        assert len(calls) == 1
+        out_dir = calls[0][calls[0].index("--output_dir") + 1]
+        assert out_dir == str(
+            tmp_path / "data/geometric_shapes/dataset")
+
+    def test_synthetic_autoregen_incomplete_still_raises(
+            self, tmp_path, monkeypatch):
+        """If regeneration does not actually produce the recipe's dirs,
+        the original FileNotFoundError still fires (no silent pass)."""
+        from count_pipnet_tpu.data import generate_shapes
+        from count_pipnet_tpu.data.registry import validate_dataset_paths
+        monkeypatch.setattr(generate_shapes, "main", lambda argv: None)
         with pytest.raises(FileNotFoundError, match="geometric_shapes"):
             validate_dataset_paths(
                 self._args("geometric_shapes"), str(tmp_path))
