@@ -49,7 +49,7 @@ def evaluate(model, params, batch_stats, test_loader, epoch, *,
              rng: Optional[jax.Array] = None, tau: float = 1.0,
              progress_prefix: str = "Eval Epoch",
              class_to_idx: Optional[dict] = None,
-             eval_step=None) -> Dict:
+             eval_step=None, pipeline_depth: int = 2) -> Dict:
     """Run the full evaluation pass. Returns the reference's info dict
     (test.py:149-157) plus updated params (the destructive shrink persists,
     like the reference's in-place copy_).
@@ -71,9 +71,12 @@ def evaluate(model, params, batch_stats, test_loader, epoch, *,
 
     model_state = {"batch_stats": batch_stats} if batch_stats else {}
 
-    # Two-deep dispatch window: fetch batch i's stats only after batch
-    # i+1 is dispatched, so the loader's decode and the device's eval
-    # step overlap (same pattern as the trainer's --pipeline_depth).
+    # Bounded dispatch window (same contract as the trainer's
+    # --pipeline_depth): fetch batch i's stats only after the window
+    # fills, so the loader's decode and the device's eval step overlap.
+    # depth 0 = fully synchronous (fetch every step), the pre-window
+    # behavior users rely on when isolating a device-side failure.
+    depth = max(int(pipeline_depth), 0)
     pending = deque()
 
     def _drain_one():
@@ -108,7 +111,7 @@ def evaluate(model, params, batch_stats, test_loader, epoch, *,
                           jnp.asarray(ys), cpw, sub, tau)
         ys_host = np.asarray(ys)
         pending.append((stats, int(ys_host.shape[0]), ys_host))
-        if len(pending) > 2:
+        while len(pending) > depth:
             _drain_one()
     while pending:
         _drain_one()

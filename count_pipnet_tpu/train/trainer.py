@@ -655,7 +655,8 @@ def run_pipnet(args):
             epoch, num_classes=num_classes,
             enforce_weight_sparsity=getattr(args, "enforce_weight_sparsity",
                                             True),
-            rng=sub, tau=trainer.tau, eval_step=trainer.eval_step)
+            rng=sub, tau=trainer.tau, eval_step=trainer.eval_step,
+            pipeline_depth=getattr(args, "pipeline_depth", 2))
         trainer.params = new_params
 
         if is_main:

@@ -165,3 +165,75 @@ class TestResNetConverter:
         params, _ = convert_torch_resnet(sd, (2, 2, 2, 2), bottleneck=False)
         flat = jax.tree_util.tree_leaves(params)
         assert all(l.shape != (1000, 512) for l in flat)
+
+
+class TestValidationKitChecks:
+    """The converter-validation script's in-env checks
+    (scripts/validate_pretrained.py): the sentinel round-trip and the
+    independent direct-from-state-dict forward that catches same-shape
+    permutation miswiring no accounting check can see."""
+
+    def _script_mod(self):
+        import importlib.util
+        import os
+        path = os.path.join(os.path.dirname(__file__), "..",
+                            "scripts", "validate_pretrained.py")
+        spec = importlib.util.spec_from_file_location("_vp", path)
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        return mod
+
+    @staticmethod
+    def _truncated3(k):
+        parts = k.split(".")
+        return (parts[0] == "features" and parts[1].isdigit()
+                and int(parts[1]) not in {0, 1, 2, 3})
+
+    def test_sentinel_roundtrip_ok(self):
+        V = self._script_mod()
+        sd = synth_convnext_tiny_state_dict(np.random.default_rng(0))
+        assert V.check_sentinel_roundtrip(
+            lambda s: convert_torchvision_convnext(s, num_stages=3), sd,
+            extra_skip=self._truncated3)
+
+    def test_sentinel_roundtrip_catches_dropped_tensor(self):
+        V = self._script_mod()
+        sd = synth_convnext_tiny_state_dict(np.random.default_rng(0))
+
+        def dropping_convert(s):
+            p = convert_torchvision_convnext(s, num_stages=3)
+            # simulated bug: one bias replaced by zeros (source dropped)
+            p["features_1_block_0"]["dwconv"]["bias"] = jnp.zeros_like(
+                p["features_1_block_0"]["dwconv"]["bias"])
+            return p
+
+        assert not V.check_sentinel_roundtrip(
+            dropping_convert, sd, extra_skip=self._truncated3)
+
+    def test_independent_forward_matches_converted(self):
+        V = self._script_mod()
+        sd = synth_convnext_tiny_state_dict(np.random.default_rng(1))
+        p = convert_torchvision_convnext(sd, num_stages=3)
+        model = convnext_tiny_26_features(num_stages=3)
+        x = np.random.default_rng(2).normal(
+            size=(1, 64, 64, 3)).astype(np.float32)
+        ours = V.forward_ours(model, p, None, x)
+        indep = V.forward_from_sd_convnext(sd, x, 3)
+        rel = np.abs(indep - ours).max() / (np.abs(indep).max() + 1e-9)
+        assert rel < 1e-4
+
+    def test_independent_forward_catches_permutation(self):
+        V = self._script_mod()
+        sd = synth_convnext_tiny_state_dict(np.random.default_rng(1))
+        p = convert_torchvision_convnext(sd, num_stages=3)
+        a = p["features_1_block_0"]["dwconv"]["kernel"]
+        p["features_1_block_0"]["dwconv"]["kernel"] = \
+            p["features_1_block_1"]["dwconv"]["kernel"]
+        p["features_1_block_1"]["dwconv"]["kernel"] = a
+        model = convnext_tiny_26_features(num_stages=3)
+        x = np.random.default_rng(2).normal(
+            size=(1, 64, 64, 3)).astype(np.float32)
+        ours = V.forward_ours(model, p, None, x)
+        indep = V.forward_from_sd_convnext(sd, x, 3)
+        rel = np.abs(indep - ours).max() / (np.abs(indep).max() + 1e-9)
+        assert rel > 1e-4
