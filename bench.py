@@ -110,12 +110,23 @@ def main():
     jax.device_get(infer(params, x, 0 if on_tpu else rng))
 
     iters = 30 if on_tpu else 3
+    # Optional device-side trace of the measured loop (VERDICT r4 item 3:
+    # adjudicate the serving floor from device counters, not host timing).
+    # Set BENCH_PROFILE_DIR=/tmp/prof to write an xplane trace; parse it
+    # with scripts/xplane_report.py. Off by default — tracing adds host
+    # overhead, so the printed number is only canonical without it.
+    profile_dir = os.environ.get("BENCH_PROFILE_DIR", "")
+    if profile_dir:
+        jax.profiler.start_trace(profile_dir)
     t0 = time.perf_counter()
     for i in range(iters):
         counts, out = infer(
             params, x, (i + 1) if on_tpu else jax.random.fold_in(rng, i))
     out_host = jax.device_get(out)  # forces the whole chain to completion
     dt = time.perf_counter() - t0
+    if profile_dir:
+        jax.profiler.stop_trace()
+        print(f"# xplane trace written to {profile_dir}", file=sys.stderr)
     assert np.all(np.isfinite(out_host))
 
     if on_tpu:

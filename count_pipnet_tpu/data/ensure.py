@@ -51,6 +51,17 @@ SYNTHETIC_GENERATORS = {
                     "--train_samples_per_class", "50",
                     "--test_samples_per_class", "10"]),
     ],
+    # 4x flagship data (VERDICT r4 item 2). Same generator seed: the
+    # first 50 samples/class are NOT the shapes_200 images (the RNG
+    # stream advances differently with more draws), which is fine — the
+    # comparison axis is dataset size, not sample identity. Test set is
+    # doubled too (10 -> 20/class) to halve eval noise.
+    "shapes_200_x4": [
+        ("shapes", ["--output_dir", "data/shapes_200_x4/dataset",
+                    "--flagship200",
+                    "--train_samples_per_class", "200",
+                    "--test_samples_per_class", "20"]),
+    ],
     "mnist_counting": [
         ("digits", ["--output_dir", "data/mnist_counting/dataset"]),
     ],

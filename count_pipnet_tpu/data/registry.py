@@ -165,6 +165,14 @@ DATASET_RECIPES = {
         "data/shapes_200/dataset/train",
         "data/shapes_200/dataset/train",
         "data/shapes_200/dataset/test", None, None, False)),
+    # 4x-data variant of the flagship dataset (200 train imgs/class vs
+    # 50): the free data-scale lever for the flagship accuracy ceiling —
+    # the generator is deterministic, so scale costs only generation
+    # time (VERDICT r4 item 2). Same recipe, disjoint directory.
+    "shapes_200_x4": (lambda s: _shapes_recipe(s, True), (
+        "data/shapes_200_x4/dataset/train",
+        "data/shapes_200_x4/dataset/train",
+        "data/shapes_200_x4/dataset/test", None, None, False)),
     "geometric_shapes_gaussian_noise": (lambda s: _shapes_recipe(s, True), (
         "data/geometric_shapes_no_noise/dataset/train",
         "data/geometric_shapes_no_noise/dataset/train",
@@ -242,13 +250,13 @@ def get_data(args, basepath="./"):
     if getattr(args, "device_augment", False):
         synth = ("geometric_shapes", "geometric_shapes_gaussian_noise",
                  "geometric_shapes_224_gaussian_noise", "mnist_counting",
-                 "shapes_200")
+                 "shapes_200", "shapes_200_x4")
         if args.dataset in synth:
             from .device_augment import DeviceAugmentConfig
-            # shapes_200 uses the gaussian-noise shapes recipe
-            # (_shapes_recipe(s, True)) despite its name
+            # shapes_200* use the gaussian-noise shapes recipe
+            # (_shapes_recipe(s, True)) despite their names
             noisy = ("gaussian_noise" in args.dataset
-                     or args.dataset == "shapes_200")
+                     or args.dataset.startswith("shapes_200"))
             geo = bool(getattr(args, "device_geometric", False))
             if geo and args.dataset == "mnist_counting":
                 # the MNIST recipe's transform1 is a RandomAffine with
