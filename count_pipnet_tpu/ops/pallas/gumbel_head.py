@@ -95,16 +95,31 @@ def gumbel_hard_counts(feats, seed, *, tile_hw: int = TILE_HW,
       noise: optional pre-drawn Gumbel noise of feats' shape — used by
         CPU tests (the on-core PRNG has no CPU interpreter lowering).
     """
+    import os
+
     btch, h, wd, c = feats.shape
     n_patches = h * wd
     x = feats.reshape(btch, n_patches, c)
 
     num_tiles = pl.cdiv(n_patches, tile_hw)
-    pad_hw = num_tiles * tile_hw - n_patches
     num_btiles = pl.cdiv(btch, batch_tile)
     pad_b = num_btiles * batch_tile - btch
-    if pad_hw or pad_b:
+    # Default: NO pad on the patch axis and NO host-level f32 cast. The
+    # device trace (BENCH_NOTES round 5) showed the XLA-side pad 676->768
+    # + bf16->f32 convert costing 1.34 ms/step at batch 256 — pure HBM
+    # traffic the kernel can absorb for free. The ragged last tile reads
+    # out-of-bounds rows (Mosaic masks them); their argmax is garbage but
+    # _histogram_body's `valid` mask already zeroes every patch row
+    # >= n_patches before accumulation, so the result is unchanged. The
+    # f32 cast happens per-tile in VMEM on load. GUMBEL_HEAD_PADDED=1
+    # restores the padded/f32 host-side prep (pre-round-5 behavior) in
+    # case a toolchain change breaks ragged tiles on real TPU.
+    padded = os.environ.get("GUMBEL_HEAD_PADDED", "1") == "1"
+    pad_hw = (num_tiles * tile_hw - n_patches) if padded else 0
+    if pad_b or pad_hw:
         x = jnp.pad(x, ((0, pad_b), (0, pad_hw), (0, 0)))
+    if padded:
+        x = x.astype(jnp.float32)
 
     space = pl.ANY if interpret else pltpu.VMEM
     tile_spec = pl.BlockSpec((batch_tile, tile_hw, c),
@@ -116,15 +131,17 @@ def gumbel_hard_counts(feats, seed, *, tile_hw: int = TILE_HW,
 
     if noise is not None:
         nz = noise.reshape(btch, n_patches, c)
-        if pad_hw or pad_b:
+        if pad_b or pad_hw:
             nz = jnp.pad(nz, ((0, pad_b), (0, pad_hw), (0, 0)))
+        if padded:
+            nz = nz.astype(jnp.float32)
         kernel = functools.partial(_kernel_noise, n_patches=n_patches,
                                    tile_hw=tile_hw)
         out = pl.pallas_call(
             kernel, grid=(num_btiles, num_tiles),
             in_specs=[tile_spec, tile_spec], out_specs=out_spec,
             out_shape=out_shape, interpret=interpret,
-        )(x.astype(jnp.float32), nz.astype(jnp.float32))
+        )(x, nz)
         return out[:btch]
 
     kernel = functools.partial(_kernel, n_patches=n_patches,
@@ -136,7 +153,7 @@ def gumbel_hard_counts(feats, seed, *, tile_hw: int = TILE_HW,
         out_specs=out_spec,
         out_shape=out_shape,
         interpret=interpret,
-    )(jnp.asarray([seed], jnp.int32), x.astype(jnp.float32))
+    )(jnp.asarray([seed], jnp.int32), x)
     return out[:btch]
 
 
