@@ -216,7 +216,9 @@ def fused_block_convnext_apply(params: Dict, x, *,
                                dw_bf16: bool = False,
                                padded_planes: bool = True,
                                padded_max_dim: int = 384,
+                               inkernel_pad: bool = False,
                                act_scales: Dict = None,
+                               gumbel_head: Dict = None,
                                interpret: bool = False):
     """Serving forward with ONE Pallas kernel per ConvNeXt block
     (ops/pallas/fused_block.py: dwconv + LN + MLP + layer-scale +
@@ -235,11 +237,36 @@ def fused_block_convnext_apply(params: Dict, x, *,
     additionally quantizes the wide stride-1 downsample GEMM (~4%
     faster) but that output is NOT residual-scaled, so exact top-1
     agreement is lost — off by default. Takes the ORIGINAL
-    ConvNeXtFeatures param tree; mirrors ConvNeXtFeatures.__call__."""
+    ConvNeXtFeatures param tree; mirrors ConvNeXtFeatures.__call__.
+
+    ``gumbel_head``: optional dict {"seed": int32, "noise": optional
+    [B, H, W, C] pre-drawn Gumbel} — fuses the gumbel-hard counting head
+    into the FINAL block's kernel (the feature plane never leaves VMEM;
+    ops/pallas/gumbel_head.py:fused_block_gumbel_counts) and returns
+    [B, C] counts instead of feature planes. Only meaningful when the
+    model's prototype dim equals the backbone output dim (no add-on
+    1x1 conv, i.e. num_features=0 — the bench/serving headline config).
+    Falls back to block-then-head when the final block runs in the
+    padded-plane branch (narrow final stages)."""
     from ..ops.pallas.fused_block import fused_block_apply
 
     if int8_min_dim is None:
         int8_min_dim = 96 if act_scales else 384
+
+    # (feat_idx, block_j) of the LAST executed block — the fused-head
+    # target. Mirrors the loop's index arithmetic below.
+    last_block = None
+    if gumbel_head is not None:
+        fi = 1
+        for k, (_, nb) in enumerate(stage_settings):
+            if k > 0:
+                if fi > num_stages:
+                    break
+                fi += 1
+            if fi > num_stages:
+                break
+            last_block = (fi, nb - 1)
+            fi += 1
 
     stem = params["features_0"]
     h = _conv(x, stem["conv"]["kernel"], stem["conv"]["bias"], 4, dtype)
@@ -289,10 +316,14 @@ def fused_block_convnext_apply(params: Dict, x, *,
             # NOT at stage-4 width: the pad rows are +23% there and the
             # [*, (26+6)*32, 768] blocks exceed the 16 MB scoped-VMEM
             # limit (measured compile OOM on v5e).
+            # ``inkernel_pad``: the first/last block of the stage
+            # marshal the pad layout in VMEM instead of standalone XLA
+            # pad/slice ops (the round-5 device trace priced those at
+            # ~2 ms/step at batch 256).
             from ..ops.pallas.fused_block import (
                 fused_block_apply_padded, pad_planes, unpad_planes,
             )
-            xp = pad_planes(h)
+            xp = h if inkernel_pad else pad_planes(h)
             for j in range(n_blocks):
                 scope = f"features_{feat_idx}_block_{j}"
                 blk = params[scope]
@@ -304,13 +335,34 @@ def fused_block_convnext_apply(params: Dict, x, *,
                     blk["pw2"]["bias"], blk["layer_scale"],
                     int8=use_int8,
                     act_scales=(act_scales or {}).get(scope),
+                    pad_in=inkernel_pad and j == 0,
+                    unpad_out=inkernel_pad and j == n_blocks - 1,
                     dw_bf16=dw_bf16, interpret=interpret)
-            h = unpad_planes(xp, hh, ww)
+            h = xp if inkernel_pad else unpad_planes(xp, hh, ww)
         else:
             flat = h.reshape(b, hh * ww, c)
             for j in range(n_blocks):
                 scope = f"features_{feat_idx}_block_{j}"
                 blk = params[scope]
+                if last_block == (feat_idx, j):
+                    from ..ops.pallas.gumbel_head import \
+                        fused_block_gumbel_counts
+                    nz = gumbel_head.get("noise")
+                    scales = (act_scales or {}).get(scope)
+                    # the fused kernel carries only the static-scale
+                    # int8 mode; without calibration it runs bf16
+                    return fused_block_gumbel_counts(
+                        flat, hh, ww, blk["dwconv"]["kernel"],
+                        blk["dwconv"]["bias"], blk["norm"]["scale"],
+                        blk["norm"]["bias"], blk["pw1"]["kernel"],
+                        blk["pw1"]["bias"], blk["pw2"]["kernel"],
+                        blk["pw2"]["bias"], blk["layer_scale"],
+                        gumbel_head.get("seed", 0),
+                        int8=use_int8 and scales is not None,
+                        act_scales=scales,
+                        noise=None if nz is None
+                        else nz.reshape(b, hh * ww, c),
+                        interpret=interpret)
                 flat = fused_block_apply(
                     flat, hh, ww, blk["dwconv"]["kernel"],
                     blk["dwconv"]["bias"], blk["norm"]["scale"],
@@ -322,6 +374,12 @@ def fused_block_convnext_apply(params: Dict, x, *,
                     dw_bf16=dw_bf16, interpret=interpret)
             h = flat.reshape(b, hh, ww, c)
         feat_idx += 1
+    if gumbel_head is not None:
+        # final block ran in the padded branch: plain block-then-head
+        from ..ops.pallas.gumbel_head import gumbel_hard_counts
+        return gumbel_hard_counts(h, gumbel_head.get("seed", 0),
+                                  interpret=interpret,
+                                  noise=gumbel_head.get("noise"))
     return h
 
 

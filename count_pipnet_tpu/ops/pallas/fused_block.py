@@ -123,6 +123,50 @@ def plane_colmask(h, w, wp=None):
         (np.arange(h * wp) % wp < w).astype(np.float32).reshape(h * wp, 1))
 
 
+def _load_padded(x_ref, h, w, wp, pad_in):
+    """Kernel prologue: materialize the zero-padded [(H+6)*WP, C] plane.
+
+    ``pad_in=False``: the block input already IS the padded layout (one
+    VMEM read). ``pad_in=True``: the block input is the COMPACT
+    [1, H, W, C] plane (what the stem / downsample convs emit) and the
+    padding is built in VMEM — two concatenates with zeros plus a free
+    (WP is sublane-tile-aligned) reshape. This removes the standalone
+    XLA pad op at each stage entry (measured 0.70 ms/step for stage 1
+    alone at batch 256, BENCH_NOTES round-5 device trace) AND shrinks
+    the block's HBM read to the compact plane (-21% at stage-1
+    geometry)."""
+    if not pad_in:
+        return x_ref[0]
+    x = x_ref[0]                                        # [h, w, c]
+    c = x.shape[-1]
+    if wp > w:
+        x = jnp.concatenate(
+            [x, jnp.zeros((h, wp - w, c), x.dtype)], axis=1)
+    x = x.reshape(h * wp, c)
+    z = jnp.zeros((PAD * wp, c), x.dtype)
+    return jnp.concatenate([z, x, z], axis=0)
+
+
+def _store_padded(out_ref, res, h, w, wp, unpad_out):
+    """Kernel epilogue: write the block result.
+
+    ``unpad_out=False``: restore the zero-pad invariant and write the
+    padded layout for the next block. ``unpad_out=True``: write the
+    COMPACT [1, H, W, C] plane (what the next downsample conv / head
+    consumes) — removes the standalone XLA slice op at each stage exit
+    (0.71 + 0.64 ms/step for stages 1-2 at batch 256, BENCH_NOTES
+    round-5 device trace) and shrinks the block's HBM write."""
+    if unpad_out:
+        out_ref[0] = res.reshape(h, wp, -1)[:, :w].astype(out_ref.dtype)
+        return
+    hwp = h * wp
+    padr = PAD * wp
+    c = res.shape[-1]
+    out_ref[0, padr:padr + hwp] = res.astype(out_ref.dtype)
+    out_ref[0, :padr] = jnp.zeros((padr, c), out_ref.dtype)
+    out_ref[0, padr + hwp:] = jnp.zeros((padr, c), out_ref.dtype)
+
+
 def _dwconv_pad(xp, wk, bias, colmask, h, wp, tap_dtype=jnp.float32):
     """Depthwise 7x7 on a zero-padded [3*WP + H*WP + 3*WP, C] plane.
 
@@ -249,11 +293,11 @@ def _kernel_int8_static(x_ref, dwk_ref, dwb_ref, lns_ref, lnb_ref, w1_ref,
 
 def _kernel_bf16_pad(x_ref, dwk_ref, dwb_ref, lns_ref, lnb_ref, w1_ref,
                      b1_ref, w2_ref, b2_ref, g_ref, cm_ref, out_ref,
-                     *, h, wp, eps, tap_dtype):
+                     *, h, w, wp, eps, tap_dtype, pad_in, unpad_out):
     hwp = h * wp
     padr = PAD * wp
-    c = x_ref.shape[-1]
-    d = _dwconv_pad(x_ref[0], dwk_ref[0], dwb_ref[:], cm_ref[:], h, wp,
+    xp = _load_padded(x_ref, h, w, wp, pad_in)
+    d = _dwconv_pad(xp, dwk_ref[0], dwb_ref[:], cm_ref[:], h, wp,
                     tap_dtype=tap_dtype)
     n = _layer_norm_rows(d, lns_ref[:], lnb_ref[:], eps)
     hid = jnp.dot(n.astype(jnp.bfloat16), w1_ref[:],
@@ -261,20 +305,19 @@ def _kernel_bf16_pad(x_ref, dwk_ref, dwb_ref, lns_ref, lnb_ref, w1_ref,
     a = jax.nn.gelu(hid, approximate=True)
     y = jnp.dot(a.astype(jnp.bfloat16), w2_ref[:],
                 preferred_element_type=jnp.float32) + b2_ref[:]
-    res = (x_ref[0, padr:padr + hwp].astype(jnp.float32)
+    res = (xp[padr:padr + hwp].astype(jnp.float32)
            + y * g_ref[:]) * cm_ref[:]
-    out_ref[0, padr:padr + hwp] = res.astype(out_ref.dtype)
-    out_ref[0, :padr] = jnp.zeros((padr, c), out_ref.dtype)
-    out_ref[0, padr + hwp:] = jnp.zeros((padr, c), out_ref.dtype)
+    _store_padded(out_ref, res, h, w, wp, unpad_out)
 
 
 def _kernel_int8_pad(x_ref, dwk_ref, dwb_ref, lns_ref, lnb_ref, w1_ref,
                      s1_ref, b1_ref, w2_ref, s2_ref, b2_ref, g_ref,
-                     cm_ref, out_ref, *, h, wp, eps, tap_dtype):
+                     cm_ref, out_ref, *, h, w, wp, eps, tap_dtype, pad_in,
+                     unpad_out):
     hwp = h * wp
     padr = PAD * wp
-    c = x_ref.shape[-1]
-    d = _dwconv_pad(x_ref[0], dwk_ref[0], dwb_ref[:], cm_ref[:], h, wp,
+    xp = _load_padded(x_ref, h, w, wp, pad_in)
+    d = _dwconv_pad(xp, dwk_ref[0], dwb_ref[:], cm_ref[:], h, wp,
                     tap_dtype=tap_dtype)
     n = _layer_norm_rows(d, lns_ref[:], lnb_ref[:], eps)
     nq, nsc = _quant_rows(n)
@@ -284,21 +327,20 @@ def _kernel_int8_pad(x_ref, dwk_ref, dwb_ref, lns_ref, lnb_ref, w1_ref,
     aq, asc = _quant_rows(a)
     y = jnp.dot(aq, w2_ref[:], preferred_element_type=jnp.int32)
     y = y.astype(jnp.float32) * asc * s2_ref[:] + b2_ref[:]
-    res = (x_ref[0, padr:padr + hwp].astype(jnp.float32)
+    res = (xp[padr:padr + hwp].astype(jnp.float32)
            + y * g_ref[:]) * cm_ref[:]
-    out_ref[0, padr:padr + hwp] = res.astype(out_ref.dtype)
-    out_ref[0, :padr] = jnp.zeros((padr, c), out_ref.dtype)
-    out_ref[0, padr + hwp:] = jnp.zeros((padr, c), out_ref.dtype)
+    _store_padded(out_ref, res, h, w, wp, unpad_out)
 
 
 def _kernel_int8_static_pad(x_ref, dwk_ref, dwb_ref, lns_ref, lnb_ref,
                             w1_ref, s1_ref, b1_ref, i1_ref, w2_ref, s2_ref,
                             b2_ref, i2_ref, g_ref, cm_ref, out_ref,
-                            *, h, wp, eps, tap_dtype):
+                            *, h, w, wp, eps, tap_dtype, pad_in,
+                            unpad_out):
     hwp = h * wp
     padr = PAD * wp
-    c = x_ref.shape[-1]
-    d = _dwconv_pad(x_ref[0], dwk_ref[0], dwb_ref[:], cm_ref[:], h, wp,
+    xp = _load_padded(x_ref, h, w, wp, pad_in)
+    d = _dwconv_pad(xp, dwk_ref[0], dwb_ref[:], cm_ref[:], h, wp,
                     tap_dtype=tap_dtype)
     n = _layer_norm_rows(d, lns_ref[:], lnb_ref[:], eps)
     nq = _quant_static(n, i1_ref[:])
@@ -308,17 +350,17 @@ def _kernel_int8_static_pad(x_ref, dwk_ref, dwb_ref, lns_ref, lnb_ref,
     aq = _quant_static(a, i2_ref[:])
     y = jnp.dot(aq, w2_ref[:], preferred_element_type=jnp.int32)
     y = y.astype(jnp.float32) * s2_ref[:] + b2_ref[:]
-    res = (x_ref[0, padr:padr + hwp].astype(jnp.float32)
+    res = (xp[padr:padr + hwp].astype(jnp.float32)
            + y * g_ref[:]) * cm_ref[:]
-    out_ref[0, padr:padr + hwp] = res.astype(out_ref.dtype)
-    out_ref[0, :padr] = jnp.zeros((padr, c), out_ref.dtype)
-    out_ref[0, padr + hwp:] = jnp.zeros((padr, c), out_ref.dtype)
+    _store_padded(out_ref, res, h, w, wp, unpad_out)
 
 
 def fused_block_apply_padded(xp, h, w, dw_kernel, dw_bias, ln_scale,
                              ln_bias, w1, b1, w2, b2, gamma, *,
                              int8: bool = False, act_scales=None,
                              dw_bf16: bool = False,
+                             pad_in: bool = False,
+                             unpad_out: bool = False,
                              eps: float = 1e-6,
                              interpret: bool = False):
     """Whole ConvNeXt block on zero-padded planes (see pad_planes).
@@ -332,10 +374,21 @@ def fused_block_apply_padded(xp, h, w, dw_kernel, dw_bias, ln_scale,
     the int8 path to static quantization (see :func:`_quant_static`).
     ``dw_bf16``: run the 49 dwconv tap FMAs in bf16 (see
     :func:`_dwconv_pad`) — roughly halves the kernel's VPU tap cost.
+    ``pad_in``: ``xp`` is the COMPACT [B, H, W, C] plane and the padded
+    layout is built in VMEM (:func:`_load_padded`) — use on the FIRST
+    block of a stage in place of a standalone :func:`pad_planes`.
+    ``unpad_out``: return the compact [B, H, W, C] plane
+    (:func:`_store_padded`) — use on the LAST block of a stage in place
+    of :func:`unpad_planes`.
     """
-    b, tot, c = xp.shape
     wp = _wp_for(w)
-    assert tot == (h + 2 * PAD) * wp, (tot, h, w, wp)
+    if pad_in:
+        b, hh, ww, c = xp.shape
+        assert (hh, ww) == (h, w), (xp.shape, h, w)
+    else:
+        b, tot, c = xp.shape
+        assert tot == (h + 2 * PAD) * wp, (tot, h, w, wp)
+    tot = (h + 2 * PAD) * wp
     tap_dtype = jnp.bfloat16 if dw_bf16 else jnp.float32
     hdim = w1.shape[1]
     hwp = h * wp
@@ -345,18 +398,24 @@ def fused_block_apply_padded(xp, h, w, dw_kernel, dw_bias, ln_scale,
 
     space = pl.ANY if interpret else pltpu.VMEM
     rep = lambda i: (0, 0)
+    if pad_in:
+        x_spec = pl.BlockSpec((1, h, w, c), lambda i: (i, 0, 0, 0),
+                              memory_space=space)
+    else:
+        x_spec = pl.BlockSpec((1, tot, c), lambda i: (i, 0, 0),
+                              memory_space=space)
     common = [
-        pl.BlockSpec((1, tot, c), lambda i: (i, 0, 0),
-                     memory_space=space),
+        x_spec,
         pl.BlockSpec((1, K * K, c), lambda i: (0, 0, 0),
                      memory_space=space),
     ]
+    marshal = dict(pad_in=pad_in, unpad_out=unpad_out, w=w)
     args = [xp, dwk, vec(dw_bias, c), vec(ln_scale, c), vec(ln_bias, c)]
     if int8 and act_scales is not None:
         w1q, s1, i1 = quantize_block_weights_folded(w1, act_scales[0])
         w2q, s2, i2 = quantize_block_weights_folded(w2, act_scales[1])
         kern = functools.partial(_kernel_int8_static_pad, h=h, wp=wp,
-                                 eps=eps, tap_dtype=tap_dtype)
+                                 eps=eps, tap_dtype=tap_dtype, **marshal)
         in_specs = common + [
             pl.BlockSpec(s, rep, memory_space=space)
             for s in [(1, c), (1, c), (1, c), (c, hdim), (1, hdim),
@@ -369,7 +428,7 @@ def fused_block_apply_padded(xp, h, w, dw_kernel, dw_bias, ln_scale,
         w1q, s1 = quantize_block_weights(w1)
         w2q, s2 = quantize_block_weights(w2)
         kern = functools.partial(_kernel_int8_pad, h=h, wp=wp, eps=eps,
-                                 tap_dtype=tap_dtype)
+                                 tap_dtype=tap_dtype, **marshal)
         in_specs = common + [
             pl.BlockSpec(s, rep, memory_space=space)
             for s in [(1, c), (1, c), (1, c), (c, hdim), (1, hdim),
@@ -379,7 +438,7 @@ def fused_block_apply_padded(xp, h, w, dw_kernel, dw_bias, ln_scale,
                  vec(gamma, c), cm]
     else:
         kern = functools.partial(_kernel_bf16_pad, h=h, wp=wp, eps=eps,
-                                 tap_dtype=tap_dtype)
+                                 tap_dtype=tap_dtype, **marshal)
         in_specs = common + [
             pl.BlockSpec(s, rep, memory_space=space)
             for s in [(1, c), (1, c), (1, c), (c, hdim), (1, hdim),
@@ -389,13 +448,20 @@ def fused_block_apply_padded(xp, h, w, dw_kernel, dw_bias, ln_scale,
                  jnp.asarray(w2, jnp.bfloat16), vec(b2, c),
                  vec(gamma, c), cm]
 
+    if unpad_out:
+        out_specs = pl.BlockSpec((1, h, w, c), lambda i: (i, 0, 0, 0),
+                                 memory_space=space)
+        out_shape = jax.ShapeDtypeStruct((b, h, w, c), xp.dtype)
+    else:
+        out_specs = pl.BlockSpec((1, tot, c), lambda i: (i, 0, 0),
+                                 memory_space=space)
+        out_shape = jax.ShapeDtypeStruct((b, tot, c), xp.dtype)
     return pl.pallas_call(
         kern,
         grid=(b,),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, tot, c), lambda i: (i, 0, 0),
-                               memory_space=space),
-        out_shape=jax.ShapeDtypeStruct((b, tot, c), xp.dtype),
+        out_specs=out_specs,
+        out_shape=out_shape,
         compiler_params=None if interpret else pltpu.CompilerParams(
             dimension_semantics=("parallel",)),
         interpret=interpret,

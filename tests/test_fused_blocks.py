@@ -351,6 +351,69 @@ class TestPaddedPlaneBlocks:
         np.testing.assert_allclose(outs[1], outs[0], atol=3e-2,
                                    rtol=3e-2)
 
+    @pytest.mark.parametrize("int8", [False, True])
+    @pytest.mark.parametrize("hw", [(9, 9), (6, 11)])
+    def test_inkernel_pad_unpad_matches_classic(self, int8, hw):
+        """pad_in/unpad_out (in-VMEM marshalling replacing the standalone
+        XLA pad/slice ops at stage boundaries) must be bit-identical to
+        the classic pad_planes -> padded blocks -> unpad_planes chain,
+        including through a 3-block chain where only the first block
+        pads and only the last unpads."""
+        from count_pipnet_tpu.ops.pallas.fused_block import (
+            fused_block_apply_padded, pad_planes, unpad_planes,
+        )
+        h, w = hw
+        c = 16
+        rng = np.random.default_rng(5)
+        ps = [self._params(c, np.random.default_rng(5 + j))
+              for j in range(3)]
+        x4 = rng.normal(size=(2, h, w, c)).astype(np.float32)
+
+        def run_block(xp, p, **kw):
+            return fused_block_apply_padded(
+                xp, h, w, p["dwk"], p["dwb"], p["lns"], p["lnb"],
+                p["w1"], p["b1"], p["w2"], p["b2"], p["g"], int8=int8,
+                interpret=True, **kw)
+
+        # classic: explicit pad / unpad around the chain
+        xp = pad_planes(jnp.asarray(x4))
+        for p in ps:
+            xp = run_block(xp, p)
+        ref = np.asarray(unpad_planes(xp, h, w), np.float32)
+
+        # fused: first block pads in-kernel, last unpads in-kernel
+        y = run_block(jnp.asarray(x4), ps[0], pad_in=True)
+        y = run_block(y, ps[1])
+        y = run_block(y, ps[2], unpad_out=True)
+        assert y.shape == (2, h, w, c)
+        np.testing.assert_array_equal(np.asarray(y, np.float32), ref)
+
+        # single-block stage: both flags on one call
+        xp1 = pad_planes(jnp.asarray(x4))
+        ref1 = np.asarray(unpad_planes(run_block(xp1, ps[0]), h, w),
+                          np.float32)
+        got1 = run_block(jnp.asarray(x4), ps[0], pad_in=True,
+                         unpad_out=True)
+        np.testing.assert_array_equal(np.asarray(got1, np.float32), ref1)
+
+    def test_serving_forward_inkernel_pad_matches_classic(self):
+        from count_pipnet_tpu.models.quantized import (
+            fused_block_convnext_apply,
+        )
+        model = convnext_tiny_26_features(num_stages=3,
+                                          dtype=jnp.float32)
+        x = jnp.asarray(np.random.default_rng(2).normal(
+            size=(2, 64, 64, 3)).astype(np.float32))
+        params = model.init({"params": jax.random.PRNGKey(0)},
+                            x[:1])["params"]
+        a = fused_block_convnext_apply(
+            params, x, num_stages=3, dtype=jnp.float32,
+            padded_planes=True, inkernel_pad=False, interpret=True)
+        b = fused_block_convnext_apply(
+            params, x, num_stages=3, dtype=jnp.float32,
+            padded_planes=True, inkernel_pad=True, interpret=True)
+        np.testing.assert_array_equal(np.asarray(b), np.asarray(a))
+
     def test_serving_forward_padded_matches_flat(self):
         from count_pipnet_tpu.models.quantized import (
             fused_block_convnext_apply,
