@@ -74,12 +74,17 @@ def main():
             lambda p, v: calibrate_act_scales(p, v, num_stages=7))(
                 params["backbone"], x_cal))
 
+        # Round-5 glue eliminations (BENCH_NOTES "Round 5", A/B'd by
+        # scripts/bench_serving_glue.py: 93.5 -> 89.5 ms/step): padded
+        # stages marshal the pad layout in VMEM (inkernel_pad) and the
+        # final stage-4 block + gumbel-hard head run as ONE kernel, so
+        # the last feature plane never touches HBM (gumbel_head=...).
         @jax.jit
         def _infer_seeded(params, x, seed):
-            feats = fused_block_convnext_apply(
+            counts = fused_block_convnext_apply(
                 params["backbone"], x, stride_threshold=100, num_stages=7,
-                act_scales=act_scales)
-            counts = gumbel_hard_counts(feats, seed)
+                act_scales=act_scales, inkernel_pad=True,
+                gumbel_head={"seed": seed})
             clamped = jnp.clip(jnp.round(counts), 0.0, 3.0)
             enc = create_modified_encoding(clamped, 3)
             enc = enc.reshape(enc.shape[0], -1)
@@ -155,11 +160,12 @@ def main():
 
         @jax.jit
         def _infer_int8_samenoise(params, x):
-            feats = fused_block_convnext_apply(
+            noise = jax.random.gumbel(
+                noise_key, (x.shape[0], 26, 26, 768), jnp.float32)
+            counts = fused_block_convnext_apply(
                 params["backbone"], x, stride_threshold=100, num_stages=7,
-                act_scales=act_scales)
-            noise = jax.random.gumbel(noise_key, feats.shape, jnp.float32)
-            counts = gumbel_hard_counts(feats, 0, noise=noise)
+                act_scales=act_scales, inkernel_pad=True,
+                gumbel_head={"seed": 0, "noise": noise})
             clamped = jnp.clip(jnp.round(counts), 0.0, 3.0)
             enc = create_modified_encoding(clamped, 3)
             enc = enc.reshape(enc.shape[0], -1)

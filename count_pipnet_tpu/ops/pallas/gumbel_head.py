@@ -258,7 +258,7 @@ def _mk_block_head_kernel(names, h, w, eps, tap_dtype, int8, chunk,
         acc = _hist_from_res(res, hw_n, c, chunk,
                              lambda rows: _draw_gumbel(rows, c),
                              noise=noise)
-        out_ref[0] = acc[0]
+        out_ref[0, 0] = acc[0]
 
     return kernel
 
@@ -338,14 +338,19 @@ def fused_block_gumbel_counts(x, h, w, dw_kernel, dw_bias, ln_scale,
         in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM), x_spec] + wspecs
         args = [jnp.asarray([seed], jnp.int32), x] + wargs
 
-    return pl.pallas_call(
+    # Output carried as [B, 1, C] so the per-image block (1, 1, C) has
+    # its last two dims equal to the array's — Mosaic requires the last
+    # two block dims be (8, 128)-divisible or full-extent, and a
+    # (1, C) block over a [B, C] array violates that on real TPU.
+    out = pl.pallas_call(
         kern,
         grid=(b,),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, c), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((1, 1, c), lambda i: (i, 0, 0),
                                memory_space=space),
-        out_shape=jax.ShapeDtypeStruct((b, c), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b, 1, c), jnp.float32),
         compiler_params=None if interpret else pltpu.CompilerParams(
             dimension_semantics=("parallel",)),
         interpret=interpret,
     )(*args)
+    return out[:, 0]
