@@ -87,8 +87,6 @@ def main():
         from count_pipnet_tpu.models.quantized import (
             calibrate_act_scales, fused_block_convnext_apply,
         )
-        from count_pipnet_tpu.ops.pallas.gumbel_head import \
-            gumbel_hard_counts
         from count_pipnet_tpu.ops.ste import create_modified_encoding
 
         x_cal = jnp.asarray(np.random.default_rng(42).normal(
@@ -98,10 +96,12 @@ def main():
                 params["backbone"], x_cal))
 
         def fn(params, x, seed):
-            feats = fused_block_convnext_apply(
+            # bench.py's round-5 canonical: in-kernel pad marshalling +
+            # fused final-block/gumbel-head (BENCH_NOTES "Round 5").
+            counts = fused_block_convnext_apply(
                 params["backbone"], x, stride_threshold=100, num_stages=7,
-                act_scales=act_scales)
-            counts = gumbel_hard_counts(feats, seed)
+                act_scales=act_scales, inkernel_pad=True,
+                gumbel_head={"seed": seed})
             clamped = jnp.clip(jnp.round(counts), 0.0, 3.0)
             enc = create_modified_encoding(clamped, 3)
             enc = enc.reshape(enc.shape[0], -1)
