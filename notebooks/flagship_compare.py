@@ -51,6 +51,10 @@ RUNS = [
      ["analysis/flagship_200_wide/log_epoch_overview.csv",
       "runs/flagship_200_wide/log_epoch_overview.csv"],
      None),
+    ("x4 (wide recipe, 4x data)",
+     ["analysis/flagship_200_x4/log_epoch_overview.csv",
+      "runs/flagship_200_x4/log_epoch_overview.csv"],
+     None),
 ]
 
 
