@@ -112,10 +112,12 @@ def gumbel_hard_counts(feats, seed, *, tile_hw: int = TILE_HW,
     # out-of-bounds rows (Mosaic masks them); their argmax is garbage but
     # _histogram_body's `valid` mask already zeroes every patch row
     # >= n_patches before accumulation, so the result is unchanged. The
-    # f32 cast happens per-tile in VMEM on load. GUMBEL_HEAD_PADDED=1
+    # f32 cast happens per-tile in VMEM on load. On-chip A/B
+    # (scripts/bench_serving_glue.py): 92.18 vs 93.47 ms/step end-to-end,
+    # counts parity 0.997 — ragged is the default. GUMBEL_HEAD_PADDED=1
     # restores the padded/f32 host-side prep (pre-round-5 behavior) in
     # case a toolchain change breaks ragged tiles on real TPU.
-    padded = os.environ.get("GUMBEL_HEAD_PADDED", "1") == "1"
+    padded = os.environ.get("GUMBEL_HEAD_PADDED", "0") == "1"
     pad_hw = (num_tiles * tile_hw - n_patches) if padded else 0
     if pad_b or pad_hw:
         x = jnp.pad(x, ((0, pad_b), (0, pad_hw), (0, 0)))
